@@ -1,0 +1,159 @@
+"""A2J: anchor-to-joint regression network for single-person depth crops.
+
+Reference: A2J_experiments/model.py:1-186, resnet.py:104-158. ResNet-50
+backbone on depth (1ch broadcast to 3), layer4 at stride 1 with dilation 2 so
+classification (layer3, 1024 ch) and regression/depth heads (layer4, 2048 ch)
+share the stride-16 grid. Heads: 4x (conv3+BN+ReLU @256) + conv3 out.
+
+Anchor/keypoint coordinates follow the reference's (h, w) = (y, x) order and
+the (w-major, h, anchor) flattening of the anchor list
+(reference: A2J_experiments/anchor.py:7-42, model.py:46-50 permute(0,3,2,1)).
+
+Outputs:
+    classification (B, W*H*A, K)      anchor-vote logits
+    regression     (B, W*H*A, K, 2)   in-plane (y, x) offsets from the anchor
+    depth          (B, W*H*A, K)      per-anchor joint depth
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class DilatedBottleneck(nn.Module):
+    """ResNet Bottleneck with optional dilation on the 3x3 conv."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_features = self.features * 4
+        identity = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.kaiming_normal())(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.kaiming_normal())(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.kaiming_normal())(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if self.stride != 1 or x.shape[-1] != out_features:
+            identity = nn.Conv(out_features, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=nn.initializers.kaiming_normal())(x)
+            identity = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet50DepthBackbone(nn.Module):
+    """ResNet-50 trunk returning (layer3, layer4) features, both stride 16."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] == 1:
+            x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, kernel_init=nn.initializers.kaiming_normal())(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i in range(3):  # layer1
+            x = DilatedBottleneck(64, stride=1, dtype=self.dtype)(x, train)
+        x = DilatedBottleneck(128, stride=2, dtype=self.dtype)(x, train)  # layer2
+        for _ in range(3):
+            x = DilatedBottleneck(128, dtype=self.dtype)(x, train)
+        x = DilatedBottleneck(256, stride=2, dtype=self.dtype)(x, train)  # layer3
+        for _ in range(5):
+            x = DilatedBottleneck(256, dtype=self.dtype)(x, train)
+        x3 = x
+        x = DilatedBottleneck(512, stride=1, dtype=self.dtype)(x3, train)  # layer4
+        for _ in range(2):
+            x = DilatedBottleneck(512, dilation=2, dtype=self.dtype)(x, train)
+        return x3, x
+
+
+class A2JHead(nn.Module):
+    """4x (conv3 + BN + ReLU @256) -> conv3 output
+    (reference: A2J_experiments/model.py:5-142)."""
+
+    out_channels: int
+    feature_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(4):
+            x = nn.Conv(self.feature_size, (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_normal())(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+                       kernel_init=nn.initializers.xavier_normal())(x)
+
+
+def _flatten_wha(x: jnp.ndarray, num_anchors: int, trailing: tuple[int, ...]):
+    """(B, H, W, A*prod(trailing)) -> (B, W*H*A, *trailing), w-major like the
+    reference's permute(0, 3, 2, 1).view(B, W, H, A, ...) flattening."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, num_anchors, *trailing)
+    x = jnp.swapaxes(x, 1, 2)  # (B, W, H, A, ...)
+    return x.reshape(b, w * h * num_anchors, *trailing)
+
+
+class A2J(nn.Module):
+    num_joints: int = 15
+    num_anchors: int = 16  # 4x4 in-cell anchor grid
+    is_3d: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x3, x4 = ResNet50DepthBackbone(dtype=self.dtype, name="backbone")(x, train)
+        A, K = self.num_anchors, self.num_joints
+        cls = A2JHead(A * K, dtype=self.dtype, name="classification")(x3, train)
+        reg = A2JHead(A * K * 2, dtype=self.dtype, name="regression")(x4, train)
+        cls = _flatten_wha(cls, A, (K,))
+        reg = _flatten_wha(reg, A, (K, 2))
+        if self.is_3d:
+            dep = A2JHead(A * K, dtype=self.dtype, name="depth")(x4, train)
+            dep = _flatten_wha(dep, A, (K,))
+            return cls, reg, dep
+        return cls, reg
+
+
+def generate_anchors(p_h=None, p_w=None) -> np.ndarray:
+    """(A, 2) in-cell anchor offsets in (h, w) order
+    (reference: A2J_experiments/anchor.py:7-24)."""
+    p_h = np.array([2, 6, 10, 14]) if p_h is None else np.asarray(p_h)
+    p_w = np.array([2, 6, 10, 14]) if p_w is None else np.asarray(p_w)
+    anchors = np.zeros((len(p_h) * len(p_w), 2))
+    k = 0
+    for i in range(len(p_w)):
+        for j in range(len(p_h)):
+            anchors[k, 0] = p_h[i]
+            anchors[k, 1] = p_w[j]
+            k += 1
+    return anchors
+
+
+def shift_anchors(shape, stride, anchors) -> np.ndarray:
+    """Dense (W*H*A, 2) anchor positions, w-major to match head flattening
+    (reference: A2J_experiments/anchor.py:26-42)."""
+    shift_h = np.arange(0, shape[0]) * stride
+    shift_w = np.arange(0, shape[1]) * stride
+    hh, ww = np.meshgrid(shift_h, shift_w)  # (n_w, n_h)
+    shifts = np.stack([hh.ravel(), ww.ravel()], axis=1)  # w-major
+    all_anchors = anchors.reshape(1, -1, 2) + shifts.reshape(-1, 1, 2)
+    return all_anchors.reshape(-1, 2)
