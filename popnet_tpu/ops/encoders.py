@@ -283,7 +283,96 @@ def encode_prior_targets(
     return prior.reshape(H, W, A * (5 + 3 * K)), mconf, mcoord, wmap
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "depth", "pose_align", "with_prior"))
+def infer_joint_visibility(joints2d, joints_z, zmaps_norm, cfg: EncoderConfig,
+                           depth: DepthStats, depth_thresh: float = 0.03):
+    """Per-joint visibility from the z-buffered pose-depth map.
+
+    A joint is visible iff its grid cell is in bounds and the composited
+    normalized z-map at int-truncated (x, y)/stride_z agrees with the joint
+    depth within `depth_thresh` meters (reference:
+    lib/datasets/datasets_kdh3d_mpaug.py:419-451
+    build_prior_targets_infer_visibility).
+    """
+    H, W = cfg.zgrid_h, cfg.zgrid_w
+    xj = jnp.trunc(joints2d[..., 0] / cfg.stride_z).astype(jnp.int32)  # (P, K)
+    yj = jnp.trunc(joints2d[..., 1] / cfg.stride_z).astype(jnp.int32)
+    inb = (xj >= 0) & (xj < W) & (yj >= 0) & (yj < H)
+    xc = jnp.clip(xj, 0, W - 1)
+    yc = jnp.clip(yj, 0, H - 1)
+    K = joints2d.shape[1]
+    kk = jnp.arange(K)[None, :]
+    zread = zmaps_norm[yc, xc, jnp.broadcast_to(kk, yc.shape)]  # (P, K)
+    zj_norm = (joints_z - depth.mean) / depth.std
+    agree = jnp.abs(zread - zj_norm) * depth.std <= depth_thresh
+    return (inb & agree).astype(jnp.float32)
+
+
+def encode_prior_targets_with_visibility(
+    bboxes, joints2d, joints_z, pose_weights, person_valid, zmaps_norm,
+    cfg: EncoderConfig, depth: DepthStats, depth_thresh: float = 0.03,
+    noobject_scale: float = 0.1, object_scale: float = 1.0,
+):
+    """Prior targets extended with K inferred-visibility channels per anchor
+    (naf = 5 + 4K) (reference: datasets_kdh3d_mpaug.py:419-503)."""
+    H, W = cfg.prior_h, cfg.prior_w
+    A = cfg.num_anchors
+    K = cfg.num_joints
+    anchors = jnp.asarray(cfg.anchors, dtype=jnp.float32)
+    P = bboxes.shape[0]
+
+    vis = infer_joint_visibility(joints2d, joints_z, zmaps_norm, cfg, depth, depth_thresh)
+
+    s = float(cfg.stride_prior)
+    cx = (bboxes[:, 0] + bboxes[:, 2]) / 2.0 / s
+    cy = (bboxes[:, 1] + bboxes[:, 3]) / 2.0 / s
+    bw = (bboxes[:, 2] - bboxes[:, 0]) / s
+    bh = (bboxes[:, 3] - bboxes[:, 1]) / s
+    jx = joints2d[:, :, 0] / s
+    jy = joints2d[:, :, 1] / s
+    jz = (joints_z - depth.mean) / depth.std
+
+    best_n = jnp.argmax(_wh_iou(jnp.stack([bw, bh], 1), anchors), axis=1)
+    gi = jnp.clip(jnp.floor(cx), 0, W - 1).astype(jnp.int32)
+    gj = jnp.clip(jnp.floor(cy), 0, H - 1).astype(jnp.int32)
+    aw = anchors[best_n, 0]
+    ah = anchors[best_n, 1]
+    target = jnp.concatenate(
+        [
+            jnp.stack([cx - gi, cy - gj, bw / aw, bh / ah, jnp.ones_like(cx)], axis=1),
+            (jx - gi[:, None]) / (aw[:, None] / 2.0),
+            (jy - gj[:, None]) / (ah[:, None] / 2.0),
+            jz,
+            vis,
+        ],
+        axis=1,
+    )  # (P, 5+4K)
+
+    def body(i, state):
+        prior, mconf, mcoord, wmap = state
+
+        def write(st):
+            prior, mconf, mcoord, wmap = st
+            prior = prior.at[gj[i], gi[i], best_n[i]].set(target[i])
+            mconf = mconf.at[gj[i], gi[i], best_n[i]].set(object_scale)
+            mcoord = mcoord.at[gj[i], gi[i], best_n[i]].set(1.0)
+            wmap = wmap.at[gj[i], gi[i], :].set(pose_weights[i])
+            return prior, mconf, mcoord, wmap
+
+        return jax.lax.cond(person_valid[i], write, lambda st: st, state)
+
+    prior0 = jnp.zeros((H, W, A, 5 + 4 * K), dtype=jnp.float32)
+    mconf0 = jnp.full((H, W, A), noobject_scale, dtype=jnp.float32)
+    mcoord0 = jnp.zeros((H, W, A), dtype=jnp.float32)
+    wmap0 = jnp.ones((H, W, A), dtype=jnp.float32)
+    prior, mconf, mcoord, wmap = jax.lax.fori_loop(
+        0, P, body, (prior0, mconf0, mcoord0, wmap0)
+    )
+    return prior.reshape(H, W, A * (5 + 4 * K)), mconf, mcoord, wmap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "depth", "pose_align", "with_prior", "pred_vis")
+)
 def encode_targets(
     joints2d,
     joints3d,
@@ -295,11 +384,13 @@ def encode_targets(
     depth: DepthStats,
     pose_align: bool = True,
     with_prior: bool = True,
+    pred_vis: bool = False,
 ):
     """Full GT-target bundle for one image; vmap over the batch axis.
 
     Mirrors datasets_kdh3d.get_ground_truth (reference:
-    lib/datasets/datasets_kdh3d.py:420-563).
+    lib/datasets/datasets_kdh3d.py:420-563); with pred_vis, the mp-aug
+    visibility-inferring variant (datasets_kdh3d_mpaug.py:535-688).
     """
     joints_z = joints3d[..., 2]
     out = {
@@ -314,9 +405,14 @@ def encode_targets(
         out["align_maps"] = am
         out["fg_masks_align"] = afg
     if with_prior:
-        prior, mconf, mcoord, wmap = encode_prior_targets(
-            bboxes, joints2d, joints_z, pose_weights, person_valid, cfg, depth
-        )
+        if pred_vis:
+            prior, mconf, mcoord, wmap = encode_prior_targets_with_visibility(
+                bboxes, joints2d, joints_z, pose_weights, person_valid, zm, cfg, depth
+            )
+        else:
+            prior, mconf, mcoord, wmap = encode_prior_targets(
+                bboxes, joints2d, joints_z, pose_weights, person_valid, cfg, depth
+            )
         out["prior_map"] = prior
         out["prior_mask_conf"] = mconf
         out["prior_mask_coord"] = mcoord

@@ -125,3 +125,43 @@ def test_zero_length_limb():
         CFG, KDH3D_DEPTH,
     )
     np.testing.assert_allclose(out["pafs"], ref_out[1], atol=2e-6)
+
+
+@pytest.mark.reference
+@pytest.mark.parametrize("seed,n_people", [(10, 2), (11, 3)])
+def test_encode_targets_pred_vis_golden(seed, n_people):
+    """mp-aug variant: prior targets with inferred per-joint visibility."""
+    ref_mp = load_cr_module(
+        "ref_datasets_kdh3d_mpaug", "third_party_methods/lib/datasets/datasets_kdh3d_mpaug.py"
+    )
+    rng = np.random.default_rng(seed)
+    obj = object.__new__(ref_mp.KDH3D_Keypoints)
+    obj.joint_names = ref_mp.get_keypoints()
+    obj.limb_ids = ref_mp.kp_connections(obj.joint_names)
+    obj.num_joints = CFG.num_joints
+    obj.input_x, obj.input_y = CFG.input_x, CFG.input_y
+    obj.stride, obj.strideZ, obj.strideA = CFG.stride, CFG.stride_z, CFG.stride_align
+    obj.stride_prior = CFG.stride_prior
+    obj.anchors = np.array(CFG.anchors)
+    obj.pose_align = True
+    obj.z_radius = CFG.z_radius
+    obj.align_radius = CFG.align_radius
+    obj.pred_vis = True
+    obj.depth_thresh = 0.03
+
+    anns = random_annotations(rng, n_people, oob_frac=0.2)
+    depth_resize = rng.uniform(0, 6, (CFG.zgrid_h, CFG.zgrid_w))
+    import copy
+
+    ref_out = obj.get_ground_truth(copy.deepcopy(anns), depth_resize)
+
+    j2, j3, bb, w, valid = pack_annotations(anns)
+    out = encoders.encode_targets(
+        jnp.asarray(j2), jnp.asarray(j3), jnp.asarray(bb), jnp.asarray(w),
+        jnp.asarray(valid), jnp.asarray(depth_resize, dtype=jnp.float32),
+        CFG, KDH3D_DEPTH, pose_align=True, with_prior=True, pred_vis=True,
+    )
+    np.testing.assert_allclose(out["zmaps"], ref_out[2], atol=2e-6)
+    np.testing.assert_allclose(out["prior_map"], ref_out[6], atol=2e-5)
+    np.testing.assert_allclose(out["prior_mask_conf"], ref_out[7], atol=0)
+    np.testing.assert_allclose(out["prior_mask_coord"], ref_out[8], atol=0)
