@@ -1,0 +1,6 @@
+from popnet_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)

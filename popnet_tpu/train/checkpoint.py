@@ -1,0 +1,45 @@
+"""Orbax checkpointing of the FULL train state.
+
+Upgrades the reference's best-val model-only torch.save (reference:
+train_rtpose_light3d_kdh3d.py:335-338 — optimizer/scheduler/epoch were NOT
+saved) to full-state checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(directory: str, state, step: int, metadata: dict | None = None,
+                    keep: int = 3):
+    directory = os.path.abspath(directory)
+    mngr = ocp.CheckpointManager(
+        directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    )
+    payload = {"state": ocp.args.StandardSave(state)}
+    if metadata is not None:
+        payload["metadata"] = ocp.args.JsonSave(metadata)
+    mngr.save(step, args=ocp.args.Composite(**payload))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def restore_checkpoint(directory: str, abstract_state: Any, step: int | None = None):
+    """Restore (state, metadata, step); abstract_state is a same-structure
+    pytree (e.g. a freshly created TrainState) used as the restore template."""
+    directory = os.path.abspath(directory)
+    mngr = ocp.CheckpointManager(directory)
+    if step is None:
+        step = mngr.latest_step()
+    restored = mngr.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(abstract_state),
+            metadata=ocp.args.JsonRestore(),
+        ),
+    )
+    mngr.close()
+    return restored["state"], restored.get("metadata"), step
