@@ -1,0 +1,96 @@
+"""End-to-end throughput benchmark: depth frames -> aligned 3D poses.
+
+Measures the full PoP-Net inference path on one chip:
+preprocessing (clip + normalize + resize 512x480 -> 224x224) + CNN forward
++ prior decode/NMS + alignment & z readout + back-projection — all one jitted
+XLA program per batch.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver north-star of 2000 depth frames/sec/chip.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+# persistent compile cache: first run pays the (slow, tunneled) compile,
+# later runs start in seconds
+os.makedirs(os.path.expanduser("~/.cache/popnet_tpu_jax"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/popnet_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from popnet_tpu.core.camera import KDH3D_INTRINSICS
+from popnet_tpu.core.config import DecodeConfig, EncoderConfig, KDH3D_DEPTH
+from popnet_tpu.decode.popnet_infer import popnet_decode
+from popnet_tpu.models import PopNet
+from popnet_tpu.ops.resize import resize_bilinear_cv2
+
+BASELINE_FPS = 2000.0
+
+
+def build_pipeline(batch: int, dtype=jnp.bfloat16):
+    ecfg = EncoderConfig()
+    dcfg = DecodeConfig()
+    model = PopNet(dtype=dtype)
+    # initialize on host CPU: param init needs no TPU and skips a slow
+    # tunneled compile
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1), jnp.float32), train=False
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    @jax.jit
+    def pipeline(raw_depth):  # (B, 512, 480) meters
+        x = jnp.clip(raw_depth, 0.0, KDH3D_DEPTH.max)
+        x = jax.vmap(lambda im: resize_bilinear_cv2(im, 224, 224))(x)
+        x = (x - KDH3D_DEPTH.mean) / KDH3D_DEPTH.std
+        (heat, z, align, prior), _ = model.apply(variables, x[..., None], train=False)
+        out = popnet_decode(
+            heat.astype(jnp.float32), z.astype(jnp.float32),
+            align.astype(jnp.float32), prior.astype(jnp.float32),
+            ecfg, dcfg, KDH3D_DEPTH, KDH3D_INTRINSICS,
+        )
+        return out["joints2d"], out["joints3d"], out["conf"], out["valid"]
+
+    return pipeline
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
+
+    pipeline = build_pipeline(batch)
+    # warmup / compile
+    jax.block_until_ready(pipeline(frames))
+    jax.block_until_ready(pipeline(frames))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "popnet_e2e_inference",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

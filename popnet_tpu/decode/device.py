@@ -1,0 +1,215 @@
+"""Batched on-device peak detection, sub-pixel refinement, and PAF scoring.
+
+The throughput path for the Open-Pose+ family: everything up to (and
+including) limb-pair scoring runs as one jitted XLA program over the batch;
+only the tiny greedy assembly (O(people^2) on <=16-peak lists) leaves the
+device, handled by the NumPy reference (decode/paf_np.py) or the native C++
+assembler (popnet_tpu/native).
+
+Numerics match the host reference in the interior:
+- peaks: cross-footprint local maxima above threshold, top-K per joint;
+- sub-pixel refinement: the 5x5 patch bicubic upsample (cv2 INTER_CUBIC,
+  Keys a=-0.75, half-pixel mapping, border replicate) is computed in closed
+  form as U @ patch @ U^T and argmax'd — identical to the reference for
+  peaks >= 2 cells from the border (the reference shrinks border patches;
+  here the patch is edge-clamped instead);
+- PAF sampling: direct bicubic evaluation of the x8-upsampled field at the
+  10 rounded line points — exactly cv2.resize(...)[y, x] for the interior.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from popnet_tpu.core.skeleton import LIMBS
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution weights (cv2 INTER_CUBIC uses a=-0.75)."""
+    t = np.abs(t)
+    w = np.where(
+        t <= 1,
+        (a + 2) * t**3 - (a + 3) * t**2 + 1,
+        np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+    )
+    return w
+
+
+def _upsample_matrix(size: int, factor: int) -> np.ndarray:
+    """(size*factor, size) matrix U with cv2.resize INTER_CUBIC semantics:
+    out[j] = sum_i U[j, i] * in[i], border-replicated."""
+    out = np.zeros((size * factor, size))
+    for j in range(size * factor):
+        src = (j + 0.5) / factor - 0.5
+        i0 = int(np.floor(src))
+        for k in range(-1, 3):
+            idx = i0 + k
+            w = _cubic_kernel(src - idx)
+            out[j, int(np.clip(idx, 0, size - 1))] += w
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_peaks", "thresh", "factor", "win_size", "num_joints")
+)
+def find_peaks_batched(
+    heat: jnp.ndarray,  # (B, H, W, C)
+    max_peaks: int = 16,
+    thresh: float = 0.1,
+    factor: int = 8,
+    win_size: int = 2,
+    num_joints: int = 15,
+):
+    """Top-K peaks per joint with sub-pixel refinement.
+
+    Returns peaks (B, K, max_peaks, 3) of (x, y, score) in upsampled-image
+    coordinates and n_valid mask (B, K, max_peaks).
+    """
+    B, H, W, _ = heat.shape
+    h = heat[..., :num_joints]
+
+    # cross-footprint max filter
+    pad = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    mx = jnp.maximum(
+        jnp.maximum(pad[:, 1:-1, 1:-1], pad[:, :-2, 1:-1]),
+        jnp.maximum(
+            jnp.maximum(pad[:, 2:, 1:-1], pad[:, 1:-1, :-2]), pad[:, 1:-1, 2:]
+        ),
+    )
+    is_peak = (h == mx) & (h > thresh)
+
+    score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
+        B, num_joints, H * W
+    )
+    top_score, top_idx = jax.lax.top_k(score_flat, max_peaks)  # (B, K, M)
+    valid = jnp.isfinite(top_score)
+    py = top_idx // W
+    px = top_idx % W
+
+    # 5x5 patch, border-clamped
+    size = 2 * win_size + 1
+    offs = jnp.arange(-win_size, win_size + 1)
+    gx = jnp.clip(px[..., None, None] + offs[None, :], 0, W - 1)        # (B,K,M,1,5)
+    gy = jnp.clip(py[..., None, None] + offs[:, None], 0, H - 1)        # (B,K,M,5,1)
+    hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
+    kk = jnp.arange(num_joints)[None, :, None, None, None]
+    patch = hK[
+        jnp.arange(B)[:, None, None, None, None],
+        jnp.broadcast_to(kk, (B, num_joints, max_peaks, size, size)),
+        jnp.broadcast_to(gy, (B, num_joints, max_peaks, size, size)),
+        jnp.broadcast_to(gx, (B, num_joints, max_peaks, size, size)),
+    ]  # (B, K, M, 5, 5)
+
+    U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (40, 5)
+    up = jnp.einsum("ai,bkmij,cj->bkmac", U, patch, U)  # (B, K, M, 40, 40)
+    S = size * factor
+    up_flat = up.reshape(B, num_joints, max_peaks, S * S)
+    loc = jnp.argmax(up_flat, axis=-1)
+    peak_score = jnp.max(up_flat, axis=-1)
+    loc_y = loc // S
+    loc_x = loc % S
+
+    # patch center of the original peak in upsampled patch coords
+    center = (jnp.asarray(win_size, heat.dtype) + 0.5) * factor - 0.5
+    rx = loc_x - center
+    ry = loc_y - center
+    out_x = (px + 0.5) * factor - 0.5 + rx
+    out_y = (py + 0.5) * factor - 0.5 + ry
+
+    peaks = jnp.stack([out_x, out_y, peak_score], axis=-1)
+    return peaks, valid
+
+
+def _bicubic_sample(field: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Evaluate cv2-style bicubic interpolation of (H, W) `field` at
+    continuous (x, y), border-replicated."""
+    H, W = field.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def w(t, a=-0.75):
+        t = jnp.abs(t)
+        return jnp.where(
+            t <= 1,
+            (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            jnp.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+
+    acc = 0.0
+    for dy in range(-1, 3):
+        wy = w(fy - dy)
+        yi = jnp.clip(y0.astype(jnp.int32) + dy, 0, H - 1)
+        row = 0.0
+        for dx in range(-1, 3):
+            wx = w(fx - dx)
+            xi = jnp.clip(x0.astype(jnp.int32) + dx, 0, W - 1)
+            row = row + wx * field[yi, xi]
+        acc = acc + wy * row
+    return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_intermed_pts", "thresh_paf", "factor", "limbs")
+)
+def score_limb_pairs_batched(
+    pafs: jnp.ndarray,         # (B, H, W, 2L) low-res fields
+    peaks: jnp.ndarray,        # (B, K, M, 3) from find_peaks_batched
+    peak_valid: jnp.ndarray,   # (B, K, M)
+    num_intermed_pts: int = 10,
+    thresh_paf: float = 0.05,
+    factor: int = 8,
+    limbs: tuple = LIMBS,
+):
+    """All src x dst pair scores per limb.
+
+    Returns (scores (B, L, M, M), ok (B, L, M, M)) where ok combines the
+    PAF-sample criterion, the positive penalized-score criterion, and pair
+    validity — the exact candidate set of the reference's
+    find_connected_joints (reference: paf_to_pose.py:156-264).
+    """
+    limbs_arr = np.asarray(limbs)
+    B, H, W, _ = pafs.shape
+    M = peaks.shape[2]
+    L = limbs_arr.shape[0]
+
+    src = peaks[:, limbs_arr[:, 0]]  # (B, L, M, 3)
+    dst = peaks[:, limbs_arr[:, 1]]
+    src_ok = peak_valid[:, limbs_arr[:, 0]]  # (B, L, M)
+    dst_ok = peak_valid[:, limbs_arr[:, 1]]
+
+    d = dst[:, :, None, :, :2] - src[:, :, :, None, :2]  # (B, L, Ms, Md, 2)
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + 1e-8
+    u = d / dist[..., None]
+
+    ts = jnp.linspace(0.0, 1.0, num_intermed_pts)
+    pts = src[:, :, :, None, None, :2] + d[:, :, :, :, None, :] * ts[None, None, None, None, :, None]
+    # rounded integer coords in the upsampled image, mapped back to low-res
+    # continuous coords with the cv2 half-pixel convention
+    pxi = jnp.round(pts[..., 0])
+    pyi = jnp.round(pts[..., 1])
+    lx = (pxi + 0.5) / factor - 0.5
+    ly = (pyi + 0.5) / factor - 0.5
+
+    paf_l = pafs.transpose(0, 3, 1, 2).reshape(B, L, 2, H, W)
+
+    def per_bl(paf_xy, lx_bl, ly_bl):
+        sx = _bicubic_sample(paf_xy[0], lx_bl, ly_bl)
+        sy = _bicubic_sample(paf_xy[1], lx_bl, ly_bl)
+        return sx, sy
+
+    sx, sy = jax.vmap(jax.vmap(per_bl))(paf_l, lx, ly)  # (B, L, Ms, Md, T)
+
+    proj = sx * u[..., None, 0] + sy * u[..., None, 1]  # (B, L, Ms, Md, T)
+    mean_score = jnp.mean(proj, axis=-1)
+    penalty = jnp.minimum(0.5 * (H * factor) / dist - 1.0, 0.0)
+    score = mean_score + penalty
+    crit1 = jnp.sum(proj > thresh_paf, axis=-1) > 0.8 * num_intermed_pts
+    crit2 = score > 0
+    ok = crit1 & crit2 & src_ok[:, :, :, None] & dst_ok[:, :, None, :]
+    return score, ok

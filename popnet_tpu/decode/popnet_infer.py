@@ -1,0 +1,133 @@
+"""End-to-end PoP-Net inference: depth frame -> aligned 3D poses, fully jitted.
+
+The PoP-Net readout path (reference artifacts: prior subnet decode as in
+evaluation_yolo_posenet_* scripts, plus the alignment refinement mechanism
+shipped library-only in lib/utils/prior_pose_align.py:321-375 and the
+heat-weighted z readout of lib/utils/common.py:272-293):
+
+1. decode the prior subnet into candidate people (boxes + K x (x, y, z)),
+2. refine each joint's 2D position with the predicted short-range alignment
+   field, weighted by the part heatmap in a (2r+1)^2 window,
+3. re-read each joint's depth from the z-map with heatmap weighting,
+4. back-project to camera-frame 3D.
+
+Everything is batched and static-shape: (B, M, K, ...) with validity masks,
+so the whole pipeline (CNN included) compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from popnet_tpu.core.camera import CameraIntrinsics
+from popnet_tpu.core.config import DecodeConfig, DepthStats, EncoderConfig
+from popnet_tpu.decode.prior import decode_prior_maps
+
+
+def _window_offsets(radius: int):
+    r = jnp.arange(-radius, radius + 1)
+    dy, dx = jnp.meshgrid(r, r, indexing="ij")
+    return dx.reshape(-1), dy.reshape(-1)
+
+
+def _gather_window(field: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, radius: int):
+    """Gather clamped (2r+1)^2 windows. field (H, W, C) or (H, W); cx/cy any
+    shape of integer cell coords. Returns (..., win, [C]) plus the window's
+    absolute (x, y) coords."""
+    H, W = field.shape[0], field.shape[1]
+    dx, dy = _window_offsets(radius)
+    gx = jnp.clip(cx[..., None] + dx, 0, W - 1)
+    gy = jnp.clip(cy[..., None] + dy, 0, H - 1)
+    return field[gy, gx], gx, gy
+
+
+@functools.partial(jax.jit, static_argnames=("ecfg", "dcfg", "depth", "cam"))
+def popnet_decode(
+    heat: jnp.ndarray,    # (B, Hg, Wg, K+1)
+    zmap: jnp.ndarray,    # (B, Hg, Wg, K) normalized
+    align: jnp.ndarray,   # (B, Hg, Wg, 2K) normalized offsets
+    prior: jnp.ndarray,   # (B, Hp, Wp, A*(5+3K))
+    ecfg: EncoderConfig,
+    dcfg: DecodeConfig,
+    depth: DepthStats,
+    cam: CameraIntrinsics,
+    w_out: float = 480.0,
+    h_out: float = 512.0,
+):
+    """Returns dict with boxes (B,M,5 px), joints2d (B,M,K,2 px),
+    joints3d (B,M,K,3 m), conf (B,M,K), valid (B,M)."""
+    K = ecfg.num_joints
+    anchors = jnp.asarray(ecfg.anchors, dtype=jnp.float32)
+    dets, valid = decode_prior_maps(
+        prior, anchors, depth.mean, depth.std, num_joints=K,
+        conf_threshold=dcfg.conf_threshold, nms_threshold=dcfg.nms_threshold,
+        max_det=dcfg.max_people,
+    )
+    B, M = valid.shape
+    jx = dets[..., 5 : 5 + K]              # normalized [0,1] image coords
+    jy = dets[..., 5 + K : 5 + 2 * K]
+    jz_prior = dets[..., 5 + 2 * K : 5 + 3 * K]  # meters
+
+    Hg, Wg = ecfg.agrid_h, ecfg.agrid_w
+    r = 1  # readout radius (reference eval scripts use radius=1)
+    span = float(ecfg.align_radius) + 0.5
+
+    # joint positions on the align/heat grid
+    gx = jx * Wg
+    gy = jy * Hg
+    cx = jnp.clip(jnp.floor(gx), 0, Wg - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(gy), 0, Hg - 1).astype(jnp.int32)
+
+    def per_image(heat_i, zmap_i, align_i, cx_i, cy_i):
+        # (M, K, win) windows per joint channel
+        dxo, dyo = _window_offsets(r)
+        gxw = jnp.clip(cx_i[..., None] + dxo, 0, Wg - 1)  # (M, K, win)
+        gyw = jnp.clip(cy_i[..., None] + dyo, 0, Hg - 1)
+        kk = jnp.arange(K)[None, :, None]
+        hwin = jnp.maximum(heat_i[gyw, gxw, jnp.broadcast_to(kk, gxw.shape)], 0.0) + 1e-9
+        zwin = zmap_i[gyw, gxw, jnp.broadcast_to(kk, gxw.shape)]
+        axwin = align_i[gyw, gxw, jnp.broadcast_to(2 * kk, gxw.shape)]
+        aywin = align_i[gyw, gxw, jnp.broadcast_to(2 * kk + 1, gxw.shape)]
+        wsum = jnp.sum(hwin, axis=-1)
+        # candidate centers voted by each window cell (align-grid units)
+        cand_x = gxw + 0.5 + axwin * span
+        cand_y = gyw + 0.5 + aywin * span
+        ref_x = jnp.sum(cand_x * hwin, axis=-1) / wsum  # (M, K)
+        ref_y = jnp.sum(cand_y * hwin, axis=-1) / wsum
+        z = jnp.sum(zwin * hwin, axis=-1) / wsum
+        return ref_x, ref_y, z
+
+    ref_x, ref_y, z_norm = jax.vmap(per_image)(heat, zmap, align, cx, cy)
+    z = z_norm * depth.std + depth.mean
+
+    # alignment confidence: where local heat evidence is weak, keep the
+    # prior subnet's direct prediction
+    heat_at = jax.vmap(
+        lambda h, x, y, kk_: h[y, x, kk_]
+    )(heat, cy, cx, jnp.broadcast_to(jnp.arange(K)[None, None, :], cx.shape))
+    use_align = heat_at > dcfg.thresh_heatmap
+    out_x = jnp.where(use_align, ref_x / Wg, jx) * w_out
+    out_y = jnp.where(use_align, ref_y / Hg, jy) * h_out
+    out_z = jnp.where(use_align, z, jz_prior)
+
+    X = (out_x - cam.cx) / cam.fx * out_z
+    Y = (out_y - cam.cy) / cam.fy * out_z
+    joints2d = jnp.stack([out_x, out_y], axis=-1)
+    joints3d = jnp.stack([X, Y, out_z], axis=-1)
+
+    boxes = dets[..., :5]
+    boxes = boxes.at[..., 0].mul(w_out)
+    boxes = boxes.at[..., 1].mul(h_out)
+    boxes = boxes.at[..., 2].mul(w_out)
+    boxes = boxes.at[..., 3].mul(h_out)
+
+    return {
+        "boxes": boxes,
+        "joints2d": joints2d,
+        "joints3d": joints3d,
+        "conf": heat_at,
+        "valid": valid,
+    }
