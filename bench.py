@@ -49,7 +49,9 @@ def build_pipeline(batch: int, dtype=jnp.bfloat16):
     @jax.jit
     def pipeline(raw_depth):  # (B, 512, 480) meters
         x = jnp.clip(raw_depth, 0.0, KDH3D_DEPTH.max)
-        x = jax.vmap(lambda im: resize_bilinear_cv2(im, 224, 224))(x)
+        # one gather for the whole batch: (B, H, W) -> (H, W, B) channels
+        x = resize_bilinear_cv2(jnp.transpose(x, (1, 2, 0)), 224, 224)
+        x = jnp.transpose(x, (2, 0, 1))
         x = (x - KDH3D_DEPTH.mean) / KDH3D_DEPTH.std
         (heat, z, align, prior), _ = model.apply(variables, x[..., None], train=False)
         out = popnet_decode(
