@@ -1,0 +1,302 @@
+"""Dataset pipelines: host file IO + fused on-device batch preparation.
+
+Replaces the reference's torch Dataset + 8-16 worker processes (reference:
+lib/datasets/datasets_kdh3d*.py, train_*:121-123) with a TPU-first design:
+
+- the host only loads .npy depth/seg/bg files and samples tiny augmentation
+  scalars (exact reference math, data/augment_device.py);
+- compositing, the single-warp augmentation, normalization, and ALL dense
+  GT-target encoding run as one jitted, vmapped XLA program per batch
+  (`prepare_batch`), deleting the worker-process layer entirely.
+
+Dataset flavors mirror the reference:
+- KDH3DDataset(bg_aug=...)           datasets_kdh3d / datasets_kdh3d_rtpose
+- KDH3DMPAugDataset                  datasets_kdh3d_mpaug (z-buffer people)
+- mpreal/is_train=False              datasets_kdh3d_mpreal (image + index)
+ITOP uses the same classes with DatasetConfig ITOP_DATASET.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import random as _pyrandom
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from popnet_tpu.core.config import DatasetConfig, EncoderConfig, KDH3D_DATASET
+from popnet_tpu.data import augment_device as ad
+from popnet_tpu.data.compositing import bg_composite, mp_composite
+from popnet_tpu.data.labels import load_label_file, pack_annotations, OOB
+from popnet_tpu.core.skeleton import SWAP_INDICES
+from popnet_tpu.ops.encoders import encode_targets
+from popnet_tpu.ops.resize import resize_bilinear_cv2
+
+# person-location modes for mp-aug compositing
+# (reference: datasets_kdh3d.py:52 aug_mods)
+AUG_MODS = [[0, 3], [1, 2], [0, 1], [2, 3], [4]]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ecfg", "dcfg", "pose_align", "with_prior", "pred_vis", "encode"),
+)
+def prepare_batch(
+    images,        # (B, H, W) composited raw depth, meters
+    inv_mats,      # (B, 2, 3)
+    depth_scales,  # (B,)
+    flips,         # (B,) bool
+    joints2d,      # (B, P, K, 2) already label-transformed
+    joints3d,      # (B, P, K, 3)
+    bboxes,        # (B, P, 4)
+    pose_weights,  # (B, P)
+    valid,         # (B, P)
+    ecfg: EncoderConfig,
+    dcfg: DatasetConfig,
+    pose_align: bool = True,
+    with_prior: bool = True,
+    pred_vis: bool = False,
+    encode: bool = True,
+):
+    """Warp + normalize + GT-encode a whole batch on device."""
+    warped = ad.warp_depth_batch(
+        images, inv_mats, depth_scales, flips, ecfg.input_y, ecfg.input_x
+    )
+    clipped = jnp.clip(warped, 0.0, dcfg.depth.max)
+    image = (clipped - dcfg.depth.mean) / dcfg.depth.std
+
+    out = {"image": image[..., None]}
+    if encode:
+        depth_resize = resize_bilinear_cv2(
+            jnp.transpose(clipped, (1, 2, 0)), ecfg.zgrid_h, ecfg.zgrid_w
+        ).transpose(2, 0, 1)
+        targets = jax.vmap(
+            lambda a, b, c, d, e, f: encode_targets(
+                a, b, c, d, e, f, ecfg, dcfg.depth,
+                pose_align=pose_align, with_prior=with_prior, pred_vis=pred_vis,
+            )
+        )(joints2d, joints3d, bboxes, pose_weights, valid, depth_resize)
+        out.update(targets)
+    return out
+
+
+class _BaseDataset:
+    def __init__(
+        self,
+        img_dir: str,
+        ann_file: str,
+        is_train: bool = True,
+        ecfg: EncoderConfig = EncoderConfig(),
+        dcfg: DatasetConfig = KDH3D_DATASET,
+        pose_align: bool = True,
+        with_prior: bool = True,
+        pred_vis: bool = False,
+        augment: bool = True,
+        hflip: bool = False,
+        render_max: float = 1.2,
+        seed: int = 0,
+    ):
+        self.img_dir = img_dir
+        self.anno_dic, self.intrinsics = load_label_file(ann_file)
+        self.ids = list(self.anno_dic.keys())
+        self.is_train = is_train
+        self.ecfg = ecfg
+        self.dcfg = dcfg
+        self.pose_align = pose_align
+        self.with_prior = with_prior
+        self.pred_vis = pred_vis
+        self.augment = augment and is_train
+        self.hflip = hflip
+        self.render_max = render_max
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.ids)
+
+    # -- host: raw sample assembly (IO + compositing inputs) -----------------
+
+    def load_composited(self, index: int):
+        """Returns (depth (H, W) float32, anns list)."""
+        raise NotImplementedError
+
+    # -- batch production ----------------------------------------------------
+
+    def _identity_params(self, h, w):
+        return ad.sample_augment_params(
+            self.rng, h, w, self.ecfg.input_y, self.ecfg.input_x,
+            rotate_deg=0.0, render_min=1.0, render_max=1.0, max_crop=0.0,
+            hflip=False,
+        )
+
+    def get_batch(self, indices):
+        """Host IO + scalar augmentation, then one fused device program."""
+        h, w = self.dcfg.height, self.dcfg.width
+        images, params_list, packed = [], [], []
+        for idx in indices:
+            depth, anns = self.load_composited(int(idx))
+            images.append(depth)
+            if self.augment:
+                params = ad.sample_augment_params(
+                    self.rng, h, w, self.ecfg.input_y, self.ecfg.input_x,
+                    rotate_deg=10.0, render_min=0.7, render_max=self.render_max,
+                    max_crop=0.1, hflip=self.hflip,
+                )
+            else:
+                params = self._identity_params(h, w)
+            params_list.append(params)
+            pk = pack_annotations(anns, self.ecfg.max_people, self.ecfg.num_joints)
+            j2, j3, bb = ad.transform_labels(
+                params, pk.joints2d, pk.joints3d, pk.bboxes, list(SWAP_INDICES)
+            )
+            j2[~pk.valid] = OOB
+            packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
+
+        images = jnp.asarray(np.stack(images))
+        inv = jnp.asarray(np.stack([p.inv_mat for p in params_list]))
+        scales = jnp.asarray(np.array([p.depth_scale for p in params_list], np.float32))
+        flips = jnp.asarray(np.array([p.flip for p in params_list]))
+        j2 = jnp.asarray(np.stack([p[0] for p in packed]))
+        j3 = jnp.asarray(np.stack([p[1] for p in packed]))
+        bb = jnp.asarray(np.stack([p[2] for p in packed]))
+        pw = jnp.asarray(np.stack([p[3] for p in packed]))
+        vd = jnp.asarray(np.stack([p[4] for p in packed]))
+
+        batch = prepare_batch(
+            images, inv, scales, flips, j2, j3, bb, pw, vd,
+            self.ecfg, self.dcfg,
+            pose_align=self.pose_align, with_prior=self.with_prior,
+            pred_vis=self.pred_vis, encode=self.is_train,
+        )
+        if not self.is_train:
+            batch["index"] = np.asarray(indices)
+        return batch
+
+    def iter_batches(self, batch_size: int, shuffle: bool | None = None, drop_last=True):
+        order = np.arange(len(self))
+        if shuffle if shuffle is not None else self.is_train:
+            self.rng.shuffle(order)
+        stop = len(order) - (len(order) % batch_size if drop_last else 0)
+        for s in range(0, stop, batch_size):
+            idx = order[s : s + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            yield self.get_batch(idx)
+
+
+class KDH3DDataset(_BaseDataset):
+    """Single-person frames with optional background augmentation
+    (reference: datasets_kdh3d.py:238-286, datasets_kdh3d_rtpose.py)."""
+
+    def __init__(self, img_dir, ann_file, bg_aug=False, bg_file=None, bg_dir=None,
+                 seg_dir=None, **kw):
+        super().__init__(img_dir, ann_file, **kw)
+        self.bg_aug = bg_aug
+        if bg_aug:
+            import json
+
+            self.bg_list = list(json.load(open(bg_file)).values())
+            _pyrandom.Random(kw.get("seed", 0)).shuffle(self.bg_list)
+            self.bg_dir = bg_dir
+            self.seg_dir = seg_dir
+
+    def load_composited(self, index):
+        image_id = self.ids[index]
+        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        if self.bg_aug:
+            bg_id = index % len(self.bg_list)
+            bg = np.load(
+                os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
+            ).astype(np.float32)
+            fg = np.load(os.path.join(self.seg_dir, image_id)).astype(np.float32)
+            depth = np.asarray(bg_composite(depth, fg, bg))
+        return depth, list(self.anno_dic[image_id])
+
+
+class KDH3DMPAugDataset(_BaseDataset):
+    """Synthetic multi-person frames: z-buffer composite of per-location
+    single-person recordings over a random background
+    (reference: datasets_kdh3d_mpaug.py:245-315)."""
+
+    def __init__(self, img_dir, ann_files, bg_file, bg_dir, seg_dir,
+                 keep_prob=0.8, dataset_len=None, **kw):
+        import json
+
+        first = ann_files[0]
+        super().__init__(img_dir, first, **kw)
+        self.anno_dic_list = []
+        self.ids_list = []
+        for f in ann_files:
+            dic, _ = load_label_file(f)
+            self.anno_dic_list.append(dic)
+            self.ids_list.append(list(dic.keys()))
+        self.bg_list = list(json.load(open(bg_file)).values())
+        self.bg_dir = bg_dir
+        self.seg_dir = seg_dir
+        self.keep_prob = keep_prob
+        self._len = dataset_len or max(len(i) for i in self.ids_list)
+
+    def __len__(self):
+        return self._len
+
+    def load_composited(self, index):
+        h, w = self.dcfg.height, self.dcfg.width
+        far = 2.0 * self.dcfg.depth.max
+        layers, masks, anns = [], [], []
+        mod = AUG_MODS[int(self.rng.integers(0, len(AUG_MODS)))]
+        for ii in mod:
+            if self.rng.uniform() > self.keep_prob:
+                continue
+            # the benchmark ships 5 per-location label files; tolerate fewer
+            self._add_layer(ii % len(self.ids_list), index, layers, masks, anns)
+        if not anns:  # ensure at least one person (reference :278-288)
+            ii = int(self.rng.integers(0, len(self.ids_list)))
+            self._add_layer(ii, index, layers, masks, anns)
+
+        bg_id = index % len(self.bg_list)
+        bg = np.load(os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])).astype(
+            np.float32
+        )
+        P = len(layers)
+        image, _ = mp_composite(
+            jnp.asarray(np.stack(layers)), jnp.asarray(np.stack(masks)),
+            jnp.ones(P, bool), jnp.asarray(bg), far=far,
+        )
+        return np.asarray(image), anns
+
+    def _add_layer(self, ii, index, layers, masks, anns):
+        image_id = self.ids_list[ii][index % len(self.ids_list[ii])]
+        anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
+        layers.append(
+            np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        )
+        masks.append(
+            np.load(os.path.join(self.seg_dir, image_id)).astype(np.float32)
+        )
+
+
+class MPRealDataset(_BaseDataset):
+    """Real multi-person test frames: no compositing; eval mode returns just
+    normalized images + indices (reference: datasets_kdh3d_mpreal.py:228-267)."""
+
+    def __init__(self, img_dir, ann_file, **kw):
+        kw.setdefault("is_train", False)
+        kw.setdefault("augment", False)
+        super().__init__(img_dir, ann_file, **kw)
+
+    def load_composited(self, index):
+        image_id = self.ids[index]
+        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        return depth, list(self.anno_dic[image_id])
+
+    def gt_human_lists(self):
+        """(human_gt_set_2d, human_gt_set_3d) in dataset order, the
+        main_evaluate contract (reference: main_evaluate_mp_human_3D.py:20-37)."""
+        set2d, set3d = [], []
+        for image_id in self.ids:
+            anns = self.anno_dic[image_id]
+            set2d.append([np.asarray(a["2d_joints"]).reshape(-1, 2).tolist() for a in anns])
+            set3d.append([np.asarray(a["3d_joints"]).reshape(-1, 3).tolist() for a in anns])
+        return set2d, set3d

@@ -1,0 +1,73 @@
+"""Dataset pipeline tests on synthetic on-disk data."""
+
+import numpy as np
+import pytest
+
+from popnet_tpu.core.config import EncoderConfig
+from popnet_tpu.data.datasets import KDH3DDataset, KDH3DMPAugDataset, MPRealDataset
+
+from tests import synthetic_data
+
+CFG = EncoderConfig(max_people=6)
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kdh3d")
+    return synthetic_data.build(str(root))
+
+
+def test_bgaug_dataset_batch(data):
+    ds = KDH3DDataset(
+        data["img_dir"], data["labels"], bg_aug=True, bg_file=data["labels_bg"],
+        bg_dir=data["bg_dir"], seg_dir=data["seg_dir"], ecfg=CFG, seed=1,
+    )
+    batch = ds.get_batch([0, 1])
+    assert batch["image"].shape == (2, 224, 224, 1)
+    assert batch["heatmaps"].shape == (2, 28, 28, 16)
+    assert batch["prior_map"].shape == (2, 14, 14, 100)
+    img = np.asarray(batch["image"])
+    assert np.isfinite(img).all()
+    # normalized depth stays in the clip range
+    assert img.min() >= -1.5 - 1e-5 and img.max() <= 1.5 + 1e-5
+    # heatmap peaks must sit where the (augmented) GT says: decoded peak of
+    # joint 0 matches a high heat cell
+    heat = np.asarray(batch["heatmaps"])[0, :, :, :15]
+    assert heat.max() > 0.9
+
+
+def test_heatmap_aligns_with_warped_person(data):
+    """The augmented image's person pixels and the heatmap fg must overlap."""
+    ds = KDH3DDataset(
+        data["img_dir"], data["labels"], bg_aug=False, ecfg=CFG, seed=3,
+    )
+    batch = ds.get_batch([2])
+    img = np.asarray(batch["image"])[0, :, :, 0]
+    heat = np.asarray(batch["heatmaps"])[0, :, :, :15].max(-1)
+    ys, xs = np.where(heat > 0.7)
+    # at heatmap peaks (stride 8), the warped depth must be a person (not 0
+    # background = normalized -1.5)
+    vals = img[np.clip(ys * 8 + 4, 0, 223), np.clip(xs * 8 + 4, 0, 223)]
+    assert np.mean(vals > -1.49) > 0.55
+
+
+def test_mpaug_dataset_batch(data):
+    ds = KDH3DMPAugDataset(
+        data["img_dir"], data["labels_locs"], bg_file=data["labels_bg"],
+        bg_dir=data["bg_dir"], seg_dir=data["seg_dir"], ecfg=CFG,
+        pred_vis=True, seed=2,
+    )
+    batch = ds.get_batch([0, 1, 2])
+    assert batch["image"].shape == (3, 224, 224, 1)
+    # pred_vis prior has 5 + 4K channels per anchor
+    assert batch["prior_map"].shape == (3, 14, 14, 2 * (5 + 60))
+    assert np.isfinite(np.asarray(batch["image"])).all()
+
+
+def test_mpreal_dataset_eval_mode(data):
+    ds = MPRealDataset(data["img_dir"], data["labels"], ecfg=CFG)
+    batch = ds.get_batch([0, 1])
+    assert set(batch.keys()) == {"image", "index"}
+    gt2d, gt3d = ds.gt_human_lists()
+    assert len(gt2d) == len(ds)
+    assert np.asarray(gt2d[0][0]).shape == (15, 2)
