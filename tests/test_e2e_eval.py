@@ -1,0 +1,126 @@
+"""End-to-end eval drivers with a GT-map oracle in place of the CNN.
+
+Feeding perfectly-encoded GT maps through each family's full inference +
+decode + JSON + metric path must recover ~perfect benchmark scores — the
+strongest structural test of the framework short of training on real data.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from popnet_tpu.core.config import DecodeConfig, EncoderConfig
+from popnet_tpu.core.skeleton import joint_to_zchannel
+from popnet_tpu.cli import evaluate as ev
+from popnet_tpu.data.datasets import MPRealDataset
+from popnet_tpu.data.labels import pack_annotations, OOB
+from popnet_tpu.ops import encoders
+
+from tests import synthetic_data
+
+ECFG = EncoderConfig(max_people=6)
+DCFG = DecodeConfig()
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kdh3d_e2e")
+    paths = synthetic_data.build(str(root), n_images=8)
+    return MPRealDataset(paths["img_dir"], paths["labels"], ecfg=ECFG)
+
+
+def make_oracle(dataset):
+    depth = dataset.dcfg.depth
+    sx = ECFG.input_x / dataset.dcfg.width
+    sy = ECFG.input_y / dataset.dcfg.height
+    state = {"pos": 0}
+
+    def targets(batch_size):
+        idx = list(range(state["pos"], state["pos"] + batch_size))
+        state["pos"] += batch_size
+        j2s, j3s, bbs, ws, vs, drs = [], [], [], [], [], []
+        for i in idx:
+            anns = dataset.anno_dic[dataset.ids[i]]
+            pk = pack_annotations(anns, ECFG.max_people, ECFG.num_joints)
+            j2 = pk.joints2d.copy()
+            j2[pk.valid, :, 0] *= sx
+            j2[pk.valid, :, 1] *= sy
+            j2[~pk.valid] = OOB
+            bb = pk.bboxes.copy()
+            bb[:, 0::2] *= sx
+            bb[:, 1::2] *= sy
+            j2s.append(j2)
+            j3s.append(pk.joints3d)
+            bbs.append(bb)
+            ws.append(pk.pose_weights)
+            vs.append(pk.valid)
+            drs.append(np.full((ECFG.zgrid_h, ECFG.zgrid_w), 5.9, np.float32))
+        return jax.vmap(
+            lambda a, b, c, d, e, f: encoders.encode_targets(
+                a, b, c, d, e, f, ECFG, depth, pose_align=True, with_prior=True
+            )
+        )(jnp.asarray(np.stack(j2s)), jnp.asarray(np.stack(j3s)),
+          jnp.asarray(np.stack(bbs)), jnp.asarray(np.stack(ws)),
+          jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(drs)))
+
+    return targets
+
+
+def test_openpose_driver_oracle(dataset):
+    targets = make_oracle(dataset)
+    j2chn = joint_to_zchannel()
+    inv = np.argsort(j2chn)  # z-branch channel c holds joint inv[c]... build map
+
+    def infer(images):
+        t = targets(images.shape[0])
+        zm = np.asarray(t["zmaps"])
+        # the z branch is indexed by joint2chn: channel j2chn[k] = joint k
+        z_model = np.empty_like(zm)
+        for k in range(15):
+            z_model[..., j2chn[k]] = zm[..., k]
+        return t["pafs"], t["heatmaps"], jnp.asarray(z_model)
+
+    data = ev.run_openpose_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
+    res = ev.evaluate_predictions(
+        data["human_pred_set_2d"], data["human_pred_set_3d"],
+        data["human_pred_set_part_conf"], data["human_gt_set_2d"],
+        data["human_gt_set_3d"], verbose=False,
+    )
+    assert res["pck2d"] > 0.95
+    assert res["pck3d"] > 0.9
+    assert res["map2d"] > 0.9
+    assert res["map3d"] > 0.85
+
+
+def test_yolo_driver_oracle(dataset):
+    targets = make_oracle(dataset)
+
+    def infer(images):
+        return targets(images.shape[0])["prior_map"]
+
+    data = ev.run_yolo_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
+    res = ev.evaluate_predictions(
+        data["human_pred_set_2d"], data["human_pred_set_3d"],
+        data["human_pred_set_part_conf"], data["human_gt_set_2d"],
+        data["human_gt_set_3d"], verbose=False,
+    )
+    assert res["pck2d"] > 0.99
+    assert res["pck3d"] > 0.99
+    assert res["map2d"] > 0.99
+    assert res["map3d"] > 0.99
+
+
+def test_popnet_driver_oracle(dataset):
+    targets = make_oracle(dataset)
+
+    def infer(images):
+        t = targets(images.shape[0])
+        return t["heatmaps"], t["zmaps"], t["align_maps"], t["prior_map"]
+
+    data = ev.run_popnet_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
+    assert "human_pred_set_2d_aligned" in data
+    res = ev.evaluate_eval_data(data, verbose=False)
+    assert res["pck2d"] > 0.95
+    assert res["pck3d"] > 0.9
