@@ -1,0 +1,151 @@
+"""Epoch-driven trainer: the reference's train loop, framework-ized.
+
+Reference recipe (train_rtpose_light3d_kdh3d.py:153-342): per-epoch train +
+validate, ReduceLROnPlateau on val loss, best-val checkpoint, throughput
+meters, scalar logging. Upgrades: full-state orbax checkpoints with resume,
+optional jax.profiler traces, one jitted step over the device mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from popnet_tpu.parallel.mesh import make_mesh, shard_batch
+from popnet_tpu.train import checkpoint as ckpt
+from popnet_tpu.train.schedule import ReduceLROnPlateau
+from popnet_tpu.train.state import create_train_state, get_learning_rate, set_learning_rate
+from popnet_tpu.train.steps import jit_step_over_mesh
+
+
+class AverageMeter:
+    """Running average (reference: train_rtpose_light3d_kdh3d.py:272-287)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = self.avg = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        make_step,
+        make_eval_loss,
+        sample_input_shape=(1, 224, 224, 1),
+        learning_rate: float = 1.0,
+        momentum: float = 0.9,
+        weight_decay: float = 0.0,
+        mesh=None,
+        out_dir: str = "runs/default",
+        print_freq: int = 20,
+        profile_epoch: int | None = None,
+        seed: int = 0,
+    ):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.mesh = mesh or make_mesh()
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.print_freq = print_freq
+        self.profile_epoch = profile_epoch
+
+        self.state = create_train_state(
+            model, jax.random.PRNGKey(seed), jnp.zeros(sample_input_shape),
+            learning_rate=learning_rate, momentum=momentum, weight_decay=weight_decay,
+        )
+        self.step_fn = jit_step_over_mesh(make_step, self.mesh)
+        self.eval_loss_fn = jax.jit(make_eval_loss)
+        self.scheduler = ReduceLROnPlateau(learning_rate)
+        self.best_val = float("inf")
+        self.epoch = 0
+        self.history = []
+
+    def train_epoch(self, dataset, batch_size: int):
+        batch_time, data_time, losses = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, batch in enumerate(dataset.iter_batches(batch_size)):
+            data_time.update(time.time() - end)
+            batch = shard_batch(batch, self.mesh)
+            self.state, logs = self.step_fn(self.state, batch)
+            loss = float(logs["loss"])
+            losses.update(loss, batch_size)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % self.print_freq == 0:
+                print(
+                    f"epoch {self.epoch} [{i}] loss {losses.val:.4f} ({losses.avg:.4f}) "
+                    f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s "
+                    f"lr {get_learning_rate(self.state):.4g}"
+                )
+        return losses.avg
+
+    def validate(self, dataset, batch_size: int):
+        losses = AverageMeter()
+        for batch in dataset.iter_batches(batch_size, shuffle=False):
+            batch = shard_batch(batch, self.mesh)
+            loss = float(self.eval_loss_fn(self.state, batch))
+            losses.update(loss, batch_size)
+        return losses.avg
+
+    def fit(self, train_ds, val_ds, epochs: int, batch_size: int,
+            checkpoint_every: int | None = None):
+        for _ in range(epochs):
+            if self.profile_epoch is not None and self.epoch == self.profile_epoch:
+                jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
+            train_loss = self.train_epoch(train_ds, batch_size)
+            if self.profile_epoch is not None and self.epoch == self.profile_epoch:
+                jax.profiler.stop_trace()
+
+            val_loss = self.validate(val_ds, batch_size) if val_ds is not None else train_loss
+            new_lr = self.scheduler.step(val_loss)
+            if abs(new_lr - get_learning_rate(self.state)) > 1e-12:
+                self.state = set_learning_rate(self.state, new_lr)
+
+            rec = {
+                "epoch": self.epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": new_lr,
+            }
+            self.history.append(rec)
+            with open(os.path.join(self.out_dir, "history.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+                ckpt.save_checkpoint(
+                    os.path.join(self.out_dir, "ckpt"), self.state,
+                    step=self.epoch, metadata={"val_loss": val_loss, "epoch": self.epoch},
+                )
+            elif checkpoint_every and self.epoch % checkpoint_every == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(self.out_dir, "ckpt"), self.state,
+                    step=self.epoch, metadata={"val_loss": val_loss, "epoch": self.epoch},
+                )
+            self.epoch += 1
+        return self.history
+
+    def resume(self):
+        """Resume from the latest checkpoint in out_dir (full train state)."""
+        state, meta, step = ckpt.restore_checkpoint(
+            os.path.join(self.out_dir, "ckpt"), self.state
+        )
+        self.state = state
+        self.epoch = (meta or {}).get("epoch", step) + 1
+        self.best_val = (meta or {}).get("val_loss", float("inf"))
+        return self
