@@ -121,3 +121,34 @@ def jit_step_over_mesh(step, mesh, axis_name: str = "data"):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_a2j_train_step(all_anchors, spatial_factor: float = 0.5,
+                        reg_factor: float = 3.0, is_3d: bool = True):
+    """A2J step: loss = cls_anchor_loss + reg_loss * RegLossFactor
+    (reference: train_a2j_mpaug_new.py:439-500, anchor.py:84-154).
+
+    batch: {"crops": (N, S, S, 1), "labels": (N, K, 3) crop-space (y, x, z)}.
+    """
+    from popnet_tpu.losses import a2j_loss
+
+    def step(state, batch):
+        def loss_fn(params):
+            heads, new_stats = _apply(state, params, batch["crops"])
+            anchor_l, reg_l = a2j_loss(
+                heads, batch["labels"], all_anchors,
+                spatial_factor=spatial_factor, is_3d=is_3d,
+            )
+            loss = anchor_l + reg_l * reg_factor
+            return loss, ({"loss_cls": anchor_l, "loss_reg": reg_l}, new_stats)
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        logs["loss"] = loss
+        return state, logs
+
+    return step
