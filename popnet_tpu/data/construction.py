@@ -1,0 +1,144 @@
+"""Offline dataset construction: raw recordings -> benchmark-layout files.
+
+Framework equivalents of the reference's one-time parse/generate scripts:
+
+- compute_pose_weights: pose-rarity weights from pelvis-frame canonical
+  poses (reference: parse_raw_KDH3D_dataset.py:59-121,
+  parse_raw_ITOP_dataset.py:104-131) — a Huber-transformed standardized
+  distance to the mean canonical pose.
+- compute_bbox_from_joints: joints+margin boxes
+  (reference: parse_raw_ITOP_dataset.py:24-52).
+- convert_itop_h5: ITOP h5 -> per-frame .npy + labels.json
+  (reference: parse_raw_ITOP_dataset.py:134-168).
+- generate_bgaug_set / generate_mpaug_set: freeze the stochastic
+  compositing pipelines into static benchmark sets
+  (reference: generate_kdh3d_bgaug_set.py:84-174,
+  generate_kdh3d_mpaug_set.py:84-169).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from popnet_tpu.core.camera import approx_root_orientation
+from popnet_tpu.core.skeleton import KEYPOINT_NAMES
+
+
+def compute_pose_weights(joints3d: np.ndarray, root_id=None, hip_left_id=None,
+                         hip_right_id=None, neck_id=None):
+    """Pose-rarity weights for (N, K, 3) world-frame poses.
+
+    Canonicalize each pose into its pelvis frame, standardize per joint
+    coordinate over the set, take the per-joint Euclidean z-score distance,
+    apply the reference's smooth quadratic-to-linear transform, and average
+    over joints. Returns (weights (N,), mean (1, K-1, 3), std (1, K-1, 3)).
+    """
+    names = list(KEYPOINT_NAMES)
+    root_id = names.index("torso") if root_id is None else root_id
+    hip_left_id = names.index("left_hip") if hip_left_id is None else hip_left_id
+    hip_right_id = names.index("right_hip") if hip_right_id is None else hip_right_id
+    neck_id = names.index("neck") if neck_id is None else neck_id
+
+    self_poses = joints3d - joints3d[:, root_id : root_id + 1, :]
+    root_axis = approx_root_orientation(
+        joints3d[:, hip_left_id, :], joints3d[:, hip_right_id, :], joints3d[:, neck_id, :]
+    )
+    self_poses = np.einsum("nkj,njm->nkm", self_poses, root_axis)
+    self_poses = np.delete(self_poses, root_id, axis=1)
+
+    not_nan = self_poses[~np.isnan(self_poses).any(axis=2).any(axis=1)]
+    mean = np.mean(not_nan, axis=0).reshape(1, -1, 3)
+    std = np.std(not_nan, axis=0).reshape(1, -1, 3)
+
+    dists = np.sqrt(np.sum(((self_poses - mean) / std) ** 2, axis=2))
+    dists = np.where(dists < 1, dists**2 / 2, dists - 0.5)
+    return np.mean(dists, axis=1).astype(np.float32), mean, std
+
+
+def compute_bbox_from_joints(joints2d, margin: float, height: int, width: int):
+    """Clamped joints+margin box (reference: parse_raw_ITOP_dataset.py:24-52,
+    joints-only path)."""
+    j = np.asarray(joints2d)
+    xmin = int(max(0, min(width, np.min(j[:, 0]) - margin)))
+    ymin = int(max(0, min(height, np.min(j[:, 1]) - margin)))
+    xmax = int(max(0, min(width, np.max(j[:, 0]) + margin)))
+    ymax = int(max(0, min(height, np.max(j[:, 1]) + margin)))
+    return [xmin, ymin, xmax, ymax]
+
+
+def convert_itop_h5(depth_h5_path: str, labels_h5_path: str, out_dir: str,
+                    joint2box_margin: float = 30.0, split: str = "train"):
+    """ITOP h5 release -> per-frame depth .npy + labels.json in the
+    benchmark layout (reference: parse_raw_ITOP_dataset.py:134-168)."""
+    import h5py
+
+    os.makedirs(os.path.join(out_dir, "depth_maps"), exist_ok=True)
+    with h5py.File(depth_h5_path, "r") as df, h5py.File(labels_h5_path, "r") as lf:
+        depth = df["data"]
+        valid = np.asarray(lf["is_valid"])
+        j2 = np.asarray(lf["image_coordinates"])
+        j3 = np.asarray(lf["real_world_coordinates"])
+        ids = [i.decode() if isinstance(i, bytes) else str(i) for i in lf["id"]]
+
+        weights, _, _ = compute_pose_weights(j3[valid > 0])
+        widx = np.cumsum(valid > 0) - 1
+
+        labels = {}
+        h, w = depth.shape[1], depth.shape[2]
+        for i in range(depth.shape[0]):
+            if valid[i] <= 0:
+                continue
+            name = f"{split}_{ids[i]}.npy"
+            np.save(os.path.join(out_dir, "depth_maps", name),
+                    np.asarray(depth[i], dtype=np.float32))
+            labels[name] = [
+                {
+                    "2d_joints": j2[i].tolist(),
+                    "3d_joints": j3[i].tolist(),
+                    "bbox": compute_bbox_from_joints(j2[i], joint2box_margin, h, w),
+                    "pose_weight": float(weights[widx[i]]),
+                }
+            ]
+    json.dump(labels, open(os.path.join(out_dir, f"labels_{split}.json"), "w"))
+    return labels
+
+
+def _freeze(dataset, out_dir: str, n_images: int | None = None,
+            label_name: str = "labels_test.json"):
+    depth_dir = os.path.join(out_dir, "depth_maps")
+    os.makedirs(depth_dir, exist_ok=True)
+    labels = {}
+    n = n_images or len(dataset)
+    for i in range(n):
+        depth, anns = dataset.load_composited(i % len(dataset))
+        depth = np.clip(depth, 0.0, dataset.dcfg.depth.max)
+        name = f"{i:08d}.npy"
+        np.save(os.path.join(depth_dir, name), depth.astype(np.float32))
+        labels[name] = [
+            {
+                "2d_joints": np.asarray(a["2d_joints"]).tolist(),
+                "3d_joints": np.asarray(a["3d_joints"]).tolist(),
+                "bbox": np.asarray(a["bbox"]).tolist(),
+                **({"pose_weight": a["pose_weight"]} if "pose_weight" in a else {}),
+            }
+            for a in anns
+        ]
+    json.dump(labels, open(os.path.join(out_dir, label_name), "w"), indent=2)
+    return labels
+
+
+def generate_bgaug_set(dataset, out_dir: str, n_images: int | None = None):
+    """Freeze the stochastic bg-aug pipeline into a static test set
+    (reference: generate_kdh3d_bgaug_set.py:84-174). `dataset` is a
+    KDH3DDataset(bg_aug=True, is_train=False)."""
+    return _freeze(dataset, out_dir, n_images)
+
+
+def generate_mpaug_set(dataset, out_dir: str, n_images: int | None = None):
+    """Freeze the stochastic mp-aug compositing into a static test set
+    (reference: generate_kdh3d_mpaug_set.py:84-169). `dataset` is a
+    KDH3DMPAugDataset."""
+    return _freeze(dataset, out_dir, n_images)
