@@ -1,0 +1,349 @@
+"""popnet-tpu command line: train / evaluate / benchmark / visualize / augset.
+
+Replaces the reference's per-script argparse CLIs (train_*.py,
+evaluate/evaluation_*.py, main_evaluate_mp_human_3D.py,
+main_visualize_{gt,pred}.py, generate_kdh3d_*_set.py) with one entry point:
+
+    python -m popnet_tpu.cli.main train --model popnet --data-root ...
+    python -m popnet_tpu.cli.main evaluate --model popnet --ckpt ...
+    python -m popnet_tpu.cli.main benchmark --gt labels.json --pred pop_results.json
+    python -m popnet_tpu.cli.main visualize-gt --data-root ... --out vis/
+    python -m popnet_tpu.cli.main generate-augset --kind bgaug ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from popnet_tpu.core.config import DecodeConfig, EncoderConfig, ITOP_DATASET, KDH3D_DATASET
+
+
+def _dataset_cfg(name):
+    return ITOP_DATASET if name == "itop" else KDH3D_DATASET
+
+
+def _build_model(name, dtype=None):
+    import jax.numpy as jnp
+
+    from popnet_tpu.models import A2J, PopNet, RTPoseLight3D, YoloPoseNet
+
+    dtype = dtype or jnp.float32
+    if name == "popnet":
+        return PopNet(dtype=dtype)
+    if name == "openpose":
+        return RTPoseLight3D(dtype=dtype)
+    if name == "yolo":
+        return YoloPoseNet(dtype=dtype)
+    if name == "a2j":
+        return A2J(dtype=dtype)
+    raise ValueError(name)
+
+
+def _train_dataset(args, ecfg, dcfg):
+    from popnet_tpu.data.datasets import KDH3DDataset, KDH3DMPAugDataset
+
+    pose_align = args.model == "popnet"
+    with_prior = args.model in ("popnet", "yolo")
+    common = dict(
+        ecfg=ecfg, dcfg=dcfg, pose_align=pose_align, with_prior=with_prior,
+        pred_vis=args.pred_vis, seed=args.seed,
+    )
+    if args.mp_aug:
+        ann_files = sorted(
+            os.path.join(args.data_root, f)
+            for f in os.listdir(args.data_root)
+            if f.startswith(args.mp_label_prefix) and f.endswith(".json")
+        )
+        return KDH3DMPAugDataset(
+            os.path.join(args.data_root, "depth_maps"), ann_files,
+            bg_file=os.path.join(args.data_root, "labels_bg.json"),
+            bg_dir=os.path.join(args.data_root, "bg_maps"),
+            seg_dir=os.path.join(args.data_root, "seg_maps"), **common,
+        )
+    return KDH3DDataset(
+        os.path.join(args.data_root, "depth_maps"),
+        os.path.join(args.data_root, args.labels),
+        bg_aug=args.bg_aug,
+        bg_file=os.path.join(args.data_root, "labels_bg.json") if args.bg_aug else None,
+        bg_dir=os.path.join(args.data_root, "bg_maps") if args.bg_aug else None,
+        seg_dir=os.path.join(args.data_root, "seg_maps") if args.bg_aug else None,
+        **common,
+    )
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+
+    from popnet_tpu.losses import popnet_loss, rtpose_light3d_loss_fgweight, yolo_loss
+    from popnet_tpu.train.loop import Trainer
+    from popnet_tpu.train.steps import (
+        make_popnet_train_step, make_rtpose_train_step, make_yolo_train_step,
+    )
+
+    dcfg = _dataset_cfg(args.dataset)
+    ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
+    model = _build_model(args.model)
+
+    if args.model == "popnet":
+        step = make_popnet_train_step(pred_vis=args.pred_vis)
+
+        def eval_loss(state, batch):
+            (_, saved) = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
+            loss, _ = popnet_loss(
+                saved, batch["heatmaps"], batch["zmaps"], batch["fg_masks_z"],
+                batch["align_maps"], batch["fg_masks_align"], batch["prior_map"],
+                batch["prior_mask_conf"], batch["prior_mask_coord"],
+                ecfg.num_joints, prior_weight_map=batch["prior_weight_map"],
+                pred_vis=args.pred_vis,
+            )
+            return loss
+
+    elif args.model == "openpose":
+        step = make_rtpose_train_step()
+
+        def eval_loss(state, batch):
+            (_, saved) = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
+            loss, _ = rtpose_light3d_loss_fgweight(
+                saved, batch["heatmaps"], batch["pafs"], batch["zmaps"],
+                batch["fg_masks_z"],
+            )
+            return loss
+
+    else:
+        step = make_yolo_train_step()
+
+        def eval_loss(state, batch):
+            pred = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
+            loss, _ = yolo_loss(
+                pred, batch["prior_map"], batch["prior_mask_conf"],
+                batch["prior_mask_coord"], ecfg.num_joints,
+                weight_map=batch["prior_weight_map"],
+            )
+            return loss
+
+    train_ds = _train_dataset(args, ecfg, dcfg)
+    val_args = argparse.Namespace(**vars(args))
+    val_args.labels = args.val_labels
+    val_args.mp_aug = False
+    val_ds = _train_dataset(val_args, ecfg, dcfg) if args.val_labels else None
+    if val_ds is not None:
+        val_ds.augment = False
+
+    trainer = Trainer(
+        model, step, eval_loss,
+        sample_input_shape=(1, args.input_size, args.input_size, 1),
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        out_dir=args.out_dir, seed=args.seed,
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size)
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from popnet_tpu.cli import evaluate as ev
+    from popnet_tpu.data.datasets import MPRealDataset
+    from popnet_tpu.train.checkpoint import restore_checkpoint
+    from popnet_tpu.train.state import create_train_state
+
+    import jax.numpy as jnp
+
+    dcfg = _dataset_cfg(args.dataset)
+    ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
+    decfg = DecodeConfig()
+    model = _build_model(args.model)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 1))
+    )
+    if args.ckpt:
+        state, _, _ = restore_checkpoint(args.ckpt, state)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    dataset = MPRealDataset(
+        os.path.join(args.data_root, "depth_maps"),
+        os.path.join(args.data_root, args.labels), ecfg=ecfg, dcfg=dcfg,
+    )
+
+    if args.model == "popnet":
+        def infer(images):
+            (heat, z, align, prior), _ = model.apply(variables, images, train=False)
+            return heat, z, align, prior
+
+        data = ev.run_popnet_eval(infer, dataset, args.batch_size, ecfg, decfg)
+    elif args.model == "openpose":
+        def infer(images):
+            (paf, heat, z), _ = model.apply(variables, images, train=False)
+            return paf, heat, z
+
+        data = ev.run_openpose_eval(infer, dataset, args.batch_size, ecfg, decfg)
+    else:
+        def infer(images):
+            return model.apply(variables, images, train=False)
+
+        data = ev.run_yolo_eval(infer, dataset, args.batch_size, ecfg, decfg)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_json = os.path.join(args.out_dir, f"{args.model}_results.json")
+    with open(out_json, "w") as f:
+        json.dump(data, f)
+    print(f"wrote {out_json}")
+    ev.evaluate_eval_data(data)
+
+
+def cmd_benchmark(args):
+    """Score a prediction JSON against a labels JSON
+    (reference: main_evaluate_mp_human_3D.py:40-99)."""
+    from popnet_tpu.cli.evaluate import evaluate_predictions
+    from popnet_tpu.data.labels import load_label_file
+
+    res = json.load(open(args.pred))
+    if args.aligned or ("pop" in os.path.basename(args.pred) and "human_pred_set_2d_aligned" in res):
+        p2, p3 = res["human_pred_set_2d_aligned"], res["human_pred_set_3d_aligned"]
+    else:
+        p2, p3 = res["human_pred_set_2d"], res["human_pred_set_3d"]
+
+    anno_dic, _ = load_label_file(args.gt)
+    gt2d = [[a["2d_joints"] for a in anns] for anns in anno_dic.values()]
+    gt3d = [[a["3d_joints"] for a in anns] for anns in anno_dic.values()]
+    evaluate_predictions(p2, p3, res.get("human_pred_set_part_conf", []), gt2d, gt3d)
+
+
+def cmd_visualize(args, gt: bool):
+    import cv2
+
+    from popnet_tpu.data.labels import load_label_file
+    from popnet_tpu.viz import visualize_gt, visualize_pred
+
+    anno_dic, _ = load_label_file(os.path.join(args.data_root, args.labels))
+    os.makedirs(args.out_dir, exist_ok=True)
+    preds = json.load(open(args.pred)) if not gt else None
+    for i, (image_id, anns) in enumerate(anno_dic.items()):
+        if args.limit and i >= args.limit:
+            break
+        depth = np.load(os.path.join(args.data_root, "depth_maps", image_id))
+        if gt:
+            seg_path = os.path.join(args.data_root, "seg_maps", image_id)
+            seg = np.load(seg_path) if os.path.exists(seg_path) else None
+            img = visualize_gt(depth, anns, seg=seg)
+        else:
+            key = "human_pred_set_2d_aligned" if "human_pred_set_2d_aligned" in preds else "human_pred_set_2d"
+            img = visualize_pred(depth, [np.asarray(h) for h in preds[key][i]])
+        cv2.imwrite(os.path.join(args.out_dir, f"{i:06d}.jpg"), img)
+    print(f"wrote images to {args.out_dir}")
+
+
+def cmd_generate_augset(args):
+    from popnet_tpu.data import construction
+    from popnet_tpu.data.datasets import KDH3DDataset, KDH3DMPAugDataset
+
+    ecfg = EncoderConfig()
+    if args.kind == "bgaug":
+        ds = KDH3DDataset(
+            os.path.join(args.data_root, "depth_maps"),
+            os.path.join(args.data_root, args.labels),
+            bg_aug=True,
+            bg_file=os.path.join(args.data_root, "labels_bg.json"),
+            bg_dir=os.path.join(args.data_root, "bg_maps"),
+            seg_dir=os.path.join(args.data_root, "seg_maps"),
+            ecfg=ecfg, is_train=False, augment=False, seed=args.seed,
+        )
+        construction.generate_bgaug_set(ds, args.out_dir, args.n_images)
+    else:
+        ann_files = sorted(
+            os.path.join(args.data_root, f)
+            for f in os.listdir(args.data_root)
+            if f.startswith(args.mp_label_prefix) and f.endswith(".json")
+        )
+        ds = KDH3DMPAugDataset(
+            os.path.join(args.data_root, "depth_maps"), ann_files,
+            bg_file=os.path.join(args.data_root, "labels_bg.json"),
+            bg_dir=os.path.join(args.data_root, "bg_maps"),
+            seg_dir=os.path.join(args.data_root, "seg_maps"),
+            ecfg=ecfg, is_train=False, augment=False, seed=args.seed,
+        )
+        construction.generate_mpaug_set(ds, args.out_dir, args.n_images)
+    print(f"frozen {args.kind} set written to {args.out_dir}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="popnet-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--data-root", required=True)
+        sp.add_argument("--labels", default="labels.json")
+        sp.add_argument("--dataset", choices=["kdh3d", "itop"], default="kdh3d")
+        sp.add_argument("--model", choices=["popnet", "openpose", "yolo"], default="popnet")
+        sp.add_argument("--input-size", type=int, default=224)
+        sp.add_argument("--batch-size", type=int, default=32)
+        sp.add_argument("--out-dir", default="runs/out")
+        sp.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--lr", type=float, default=1.0)
+    t.add_argument("--weight-decay", type=float, default=0.0)
+    t.add_argument("--bg-aug", action="store_true")
+    t.add_argument("--mp-aug", action="store_true")
+    t.add_argument("--mp-label-prefix", default="labels_loc")
+    t.add_argument("--pred-vis", action="store_true")
+    t.add_argument("--val-labels", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate")
+    common(e)
+    e.add_argument("--ckpt", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    b = sub.add_parser("benchmark")
+    b.add_argument("--gt", required=True)
+    b.add_argument("--pred", required=True)
+    b.add_argument("--aligned", action="store_true")
+    b.set_defaults(fn=cmd_benchmark)
+
+    vg = sub.add_parser("visualize-gt")
+    common(vg)
+    vg.add_argument("--limit", type=int, default=0)
+    vg.set_defaults(fn=lambda a: cmd_visualize(a, gt=True))
+
+    vp = sub.add_parser("visualize-pred")
+    common(vp)
+    vp.add_argument("--pred", required=True)
+    vp.add_argument("--limit", type=int, default=0)
+    vp.set_defaults(fn=lambda a: cmd_visualize(a, gt=False))
+
+    g = sub.add_parser("generate-augset")
+    common(g)
+    g.add_argument("--kind", choices=["bgaug", "mpaug"], required=True)
+    g.add_argument("--n-images", type=int, default=None)
+    g.add_argument("--mp-label-prefix", default="labels_loc")
+    g.set_defaults(fn=cmd_generate_augset)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,7 @@ class Trainer:
             model, jax.random.PRNGKey(seed), jnp.zeros(sample_input_shape),
             learning_rate=learning_rate, momentum=momentum, weight_decay=weight_decay,
         )
+        self._make_step = make_step
         self.step_fn = jit_step_over_mesh(make_step, self.mesh)
         self.eval_loss_fn = jax.jit(make_eval_loss)
         self.scheduler = ReduceLROnPlateau(learning_rate)
@@ -104,6 +105,12 @@ class Trainer:
 
     def fit(self, train_ds, val_ds, epochs: int, batch_size: int,
             checkpoint_every: int | None = None):
+        n_dev = len(self.mesh.devices.ravel())
+        if batch_size % n_dev != 0:
+            # shrink the data-parallel mesh to the largest divisor of batch
+            n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+            self.mesh = make_mesh(jax.devices()[:n])
+            self.step_fn = jit_step_over_mesh(self._make_step, self.mesh)
         for _ in range(epochs):
             if self.profile_epoch is not None and self.epoch == self.profile_epoch:
                 jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
