@@ -300,3 +300,135 @@ class MPRealDataset(_BaseDataset):
             set2d.append([np.asarray(a["2d_joints"]).reshape(-1, 2).tolist() for a in anns])
             set3d.append([np.asarray(a["3d_joints"]).reshape(-1, 3).tolist() for a in anns])
         return set2d, set3d
+
+
+class KDH3DMPAugAdvDataset(KDH3DMPAugDataset):
+    """Adversarial mp-aug: each person is augmented INDIVIDUALLY (depth+mask
+    warped together) before the z-buffer composite; the background gets its
+    own RenderDepth(<=1.2)+Resize pipeline
+    (reference: datasets_kdh3d_mpaug_adv.py:200-316).
+
+    TPU-first: person layers and masks warp in one batched device kernel at
+    the network input resolution, then composite + encode stay on device.
+    """
+
+    def get_batch(self, indices):
+        far = 2.0 * self.dcfg.depth.max
+        h, w = self.dcfg.height, self.dcfg.width
+        iy, ix = self.ecfg.input_y, self.ecfg.input_x
+        P = self.ecfg.max_people
+
+        all_layers, all_masks, all_keep = [], [], []
+        all_j2, all_j3, all_bb, all_w, all_valid = [], [], [], [], []
+        bg_params, bgs = [], []
+        for idx in indices:
+            idx = int(idx)
+            layers = np.zeros((P, h, w), np.float32)
+            masks = np.zeros((P, h, w), np.float32)
+            keep = np.zeros(P, bool)
+            j2 = np.full((P, self.ecfg.num_joints, 2), OOB, np.float32)
+            j3 = np.zeros((P, self.ecfg.num_joints, 3), np.float32)
+            bb = np.zeros((P, 4), np.float32)
+            pw = np.ones(P, np.float32)
+            valid = np.zeros(P, bool)
+
+            chosen = []
+            mod = AUG_MODS[int(self.rng.integers(0, len(AUG_MODS)))]
+            for ii in mod:
+                if self.rng.uniform() > self.keep_prob:
+                    continue
+                chosen.append(ii % len(self.ids_list))
+            if not chosen:
+                chosen = [int(self.rng.integers(0, len(self.ids_list)))]
+
+            n = 0
+            inv_mats = np.zeros((P, 2, 3), np.float32)
+            scales = np.ones(P, np.float32)
+            flips = np.zeros(P, bool)
+            for ii in chosen:
+                image_id = self.ids_list[ii][idx % len(self.ids_list[ii])]
+                anns = self.anno_dic_list[ii][image_id]
+                params = ad.sample_augment_params(
+                    self.rng, h, w, iy, ix, rotate_deg=10.0,
+                    render_min=0.7, render_max=self.render_max,
+                    max_crop=0.1, hflip=self.hflip,
+                ) if self.augment else self._identity_params(h, w)
+                for ann in anns[: P - n]:
+                    pk = pack_annotations([ann], 1, self.ecfg.num_joints)
+                    tj2, tj3, tbb = ad.transform_labels(
+                        params, pk.joints2d, pk.joints3d, pk.bboxes, list(SWAP_INDICES)
+                    )
+                    j2[n], j3[n], bb[n] = tj2[0], tj3[0], tbb[0]
+                    pw[n] = pk.pose_weights[0]
+                    valid[n] = True
+                    layers[n] = np.load(
+                        os.path.join(self.img_dir, image_id)
+                    ).astype(np.float32)
+                    masks[n] = np.load(
+                        os.path.join(self.seg_dir, image_id)
+                    ).astype(np.float32)
+                    inv_mats[n] = params.inv_mat
+                    scales[n] = params.depth_scale
+                    flips[n] = params.flip
+                    keep[n] = True
+                    n += 1
+
+            all_layers.append(layers)
+            all_masks.append(masks)
+            all_keep.append(keep)
+            all_j2.append(j2)
+            all_j3.append(j3)
+            all_bb.append(bb)
+            all_w.append(pw)
+            all_valid.append(valid)
+            bgs.append(
+                np.load(os.path.join(
+                    self.bg_dir, self.bg_list[idx % len(self.bg_list)]["file_name"]
+                )).astype(np.float32)
+            )
+            bg_params.append(
+                ad.sample_augment_params(
+                    self.rng, h, w, iy, ix, rotate_deg=0.0,
+                    render_min=0.7, render_max=1.2, max_crop=0.0,
+                ) if self.augment else self._identity_params(h, w)
+            )
+            # stash per-person warp params alongside
+            all_keep[-1] = (keep, inv_mats, scales, flips)
+
+        B = len(indices)
+        layers = jnp.asarray(np.stack(all_layers)).reshape(B * P, h, w)
+        masks = jnp.asarray(np.stack(all_masks)).reshape(B * P, h, w)
+        inv = jnp.asarray(np.stack([k[1] for k in all_keep])).reshape(B * P, 2, 3)
+        sc = jnp.asarray(np.stack([k[2] for k in all_keep])).reshape(B * P)
+        fl = jnp.asarray(np.stack([k[3] for k in all_keep])).reshape(B * P)
+        keep = jnp.asarray(np.stack([k[0] for k in all_keep]))  # (B, P)
+
+        warped = ad.warp_depth_batch(layers, inv, sc, fl, iy, ix).reshape(B, P, iy, ix)
+        wmasks = (
+            ad.warp_depth_batch(masks, inv, jnp.ones_like(sc), fl, iy, ix) > 0
+        ).astype(jnp.float32).reshape(B, P, iy, ix)
+
+        bg_inv = jnp.asarray(np.stack([p.inv_mat for p in bg_params]))
+        bg_sc = jnp.asarray(np.array([p.depth_scale for p in bg_params], np.float32))
+        bg_fl = jnp.asarray(np.array([p.flip for p in bg_params]))
+        bg_warped = ad.warp_depth_batch(jnp.asarray(np.stack(bgs)), bg_inv, bg_sc, bg_fl, iy, ix)
+
+        composited, _ = jax.vmap(
+            lambda d, m, k, bg: mp_composite(d, m, k, bg, far=far)
+        )(warped, wmasks, keep, bg_warped)
+
+        ident = jnp.broadcast_to(
+            jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32), (B, 2, 3)
+        )
+        batch = prepare_batch(
+            composited, ident, jnp.ones(B), jnp.zeros(B, bool),
+            jnp.asarray(np.stack(all_j2)), jnp.asarray(np.stack(all_j3)),
+            jnp.asarray(np.stack(all_bb)), jnp.asarray(np.stack(all_w)),
+            jnp.asarray(np.stack(all_valid)),
+            self.ecfg, self.dcfg, pose_align=self.pose_align,
+            with_prior=self.with_prior, pred_vis=self.pred_vis,
+            encode=self.is_train,
+        )
+        if not self.is_train:
+            batch["index"] = np.asarray(indices)
+        return batch

@@ -71,3 +71,20 @@ def test_mpreal_dataset_eval_mode(data):
     gt2d, gt3d = ds.gt_human_lists()
     assert len(gt2d) == len(ds)
     assert np.asarray(gt2d[0][0]).shape == (15, 2)
+
+
+def test_mpaug_adv_dataset_batch(data):
+    from popnet_tpu.data.datasets import KDH3DMPAugAdvDataset
+
+    ds = KDH3DMPAugAdvDataset(
+        data["img_dir"], data["labels_locs"], bg_file=data["labels_bg"],
+        bg_dir=data["bg_dir"], seg_dir=data["seg_dir"], ecfg=CFG, seed=4,
+    )
+    batch = ds.get_batch([0, 1])
+    assert batch["image"].shape == (2, 224, 224, 1)
+    assert batch["heatmaps"].shape == (2, 28, 28, 16)
+    img = np.asarray(batch["image"])
+    assert np.isfinite(img).all()
+    # per-person-augmented composite still yields fg heat + coherent image
+    heat = np.asarray(batch["heatmaps"])[:, :, :, :15].max((1, 2, 3))
+    assert (heat > 0.9).all()
