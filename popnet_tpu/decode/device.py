@@ -69,18 +69,13 @@ def find_peaks_batched(
     Returns peaks (B, K, max_peaks, 3) of (x, y, score) in upsampled-image
     coordinates and n_valid mask (B, K, max_peaks).
     """
+    from popnet_tpu.ops.pallas_kernels import peak_mask
+
     B, H, W, _ = heat.shape
     h = heat[..., :num_joints]
 
-    # cross-footprint max filter
-    pad = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-    mx = jnp.maximum(
-        jnp.maximum(pad[:, 1:-1, 1:-1], pad[:, :-2, 1:-1]),
-        jnp.maximum(
-            jnp.maximum(pad[:, 2:, 1:-1], pad[:, 1:-1, :-2]), pad[:, 1:-1, 2:]
-        ),
-    )
-    is_peak = (h == mx) & (h > thresh)
+    # cross-footprint max filter + threshold (Pallas kernel on TPU)
+    is_peak = peak_mask(h, thresh)
 
     score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
         B, num_joints, H * W
