@@ -1,0 +1,107 @@
+"""MPII RGB keypoints: label parsing + dataset (the RGB PoP-Net side).
+
+Reference: lib/datasets/parse_mpii_dataset_from_json.py (label conversion),
+datasets_mpii_new.py (visibility assignment, 16-joint MPII skeleton).
+The RGB variant trains PopNet(pred_vis=True) with pop_net_rgb-style targets:
+heatmaps + align maps + prior with per-joint visibility; no depth channels.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+# MPII 16-joint order (reference: parse_mpii_dataset_from_json.py:32-35)
+MPII_KEYPOINT_NAMES: tuple[str, ...] = (
+    "ANKLE_RIGHT", "KNEE_RIGHT", "HIP_RIGHT", "HIP_LEFT", "KNEE_LEFT",
+    "ANKLE_LEFT", "PELVIS", "THORAX", "UPPER_NECK", "HEAD_TOP",
+    "WRIST_RIGHT", "ELBOW_RIGHT", "SHOULDER_RIGHT", "SHOULDER_LEFT",
+    "ELBOW_LEFT", "WRIST_LEFT",
+)
+MPII_NUM_JOINTS = len(MPII_KEYPOINT_NAMES)  # 16
+
+
+def _mpii_limbs():
+    i = MPII_KEYPOINT_NAMES.index
+    return (
+        (i("PELVIS"), i("HIP_RIGHT")),
+        (i("HIP_RIGHT"), i("KNEE_RIGHT")),
+        (i("KNEE_RIGHT"), i("ANKLE_RIGHT")),
+        (i("PELVIS"), i("HIP_LEFT")),
+        (i("HIP_LEFT"), i("KNEE_LEFT")),
+        (i("KNEE_LEFT"), i("ANKLE_LEFT")),
+        (i("PELVIS"), i("THORAX")),
+        (i("THORAX"), i("UPPER_NECK")),
+        (i("UPPER_NECK"), i("HEAD_TOP")),
+        (i("THORAX"), i("SHOULDER_RIGHT")),
+        (i("SHOULDER_RIGHT"), i("ELBOW_RIGHT")),
+        (i("ELBOW_RIGHT"), i("WRIST_RIGHT")),
+        (i("THORAX"), i("SHOULDER_LEFT")),
+        (i("SHOULDER_LEFT"), i("ELBOW_LEFT")),
+        (i("ELBOW_LEFT"), i("WRIST_LEFT")),
+    )
+
+
+MPII_LIMBS = _mpii_limbs()
+
+_SWAPS = (
+    ("ANKLE_RIGHT", "ANKLE_LEFT"), ("KNEE_RIGHT", "KNEE_LEFT"),
+    ("HIP_RIGHT", "HIP_LEFT"), ("WRIST_RIGHT", "WRIST_LEFT"),
+    ("ELBOW_RIGHT", "ELBOW_LEFT"), ("SHOULDER_RIGHT", "SHOULDER_LEFT"),
+)
+
+
+def _swap_indices():
+    m = {}
+    for a, b in _SWAPS:
+        m[a] = MPII_KEYPOINT_NAMES.index(b)
+        m[b] = MPII_KEYPOINT_NAMES.index(a)
+    return tuple(m.get(n, i) for i, n in enumerate(MPII_KEYPOINT_NAMES))
+
+
+MPII_SWAP_INDICES = _swap_indices()
+
+
+def prepare_mpii_labels(annotation_json: str, istrain: bool = True) -> dict:
+    """Standard MPII JSON release -> our per-image label dict
+    (reference: parse_mpii_dataset_from_json.py:56-90)."""
+    annos = json.load(open(annotation_json))
+    image_label_dict: dict[str, list] = {}
+    for a in annos:
+        name = a["image"]
+        image_label_dict.setdefault(name, [])
+        if istrain:
+            image_label_dict[name].append(
+                {"2d_joints": a["joints"], "visible_joints": a["joints_vis"]}
+            )
+    return image_label_dict
+
+
+def assign_visibility_from_border(anns, height: int, width: int, margin: int = 3,
+                                  intersect_gt: bool = False):
+    """Per-joint visibility from the image border (and optionally the GT
+    flags) (reference: datasets_mpii_new.py:142-189)."""
+    out = []
+    for ann in anns:
+        ann = dict(ann)
+        j = np.asarray(ann["2d_joints"], dtype=np.float64)
+        vis = (
+            (j[:, 0] >= margin) & (j[:, 0] < width - margin)
+            & (j[:, 1] >= margin) & (j[:, 1] < height - margin)
+        )
+        if intersect_gt and "visible_joints" in ann:
+            vis = vis & (np.asarray(ann["visible_joints"]) != 0)
+        ann["visible_joints"] = vis.astype(np.int64).tolist()
+        out.append(ann)
+    return out
+
+
+def bbox_from_visible_joints(ann, margin: float = 25.0):
+    j = np.asarray(ann["2d_joints"], dtype=np.float64)
+    vis = np.asarray(ann.get("visible_joints", np.ones(len(j)))) > 0
+    jv = j[vis] if vis.any() else j
+    return [
+        float(jv[:, 0].min() - margin), float(jv[:, 1].min() - margin),
+        float(jv[:, 0].max() + margin), float(jv[:, 1].max() + margin),
+    ]

@@ -7,5 +7,6 @@ from popnet_tpu.losses.losses import (  # noqa: F401
     rtpose_light_loss,
     yolo_loss,
     popnet_loss,
+    popnet_rgb_loss,
     a2j_loss,
 )

@@ -221,3 +221,60 @@ def a2j_loss(heads, annotations, all_anchors, spatial_factor=0.5, is_3d=True):
         # the reference adds the raw depth L1 (its smooth-L1 result is unused)
         reg_loss = reg_loss + jnp.mean(z_diff)
     return anchor_loss, reg_loss
+
+
+def popnet_rgb_loss(
+    saved_for_loss, heat_gt, alignmap_gt, fg_mask_align, prior_gt,
+    prior_mask_conf, prior_mask_coord, num_joints,
+    num_stages=2, prior_subnet_only=False,
+):
+    """RGB PoP-Net loss: heat + align stages and a visibility-masked
+    self-pose prior (reference: losses.py:468-539 pop_net_rgb_loss_fgweight).
+
+    saved_for_loss: [heat1, align1, ..., heatS, alignS, prior] with the
+    prior carrying 5 + 4K channels per anchor (x, y, vis targets).
+    """
+    logs = {}
+    total = 0.0
+    weight_align = fg_mask_align
+    b, h, w, _ = weight_align.shape
+    fg = weight_align[..., :num_joints]
+    weight_fg = 0.1 + fg * 0.9
+    weight_ht = jnp.concatenate([weight_fg, jnp.ones((b, h, w, 1), fg.dtype)], -1)
+
+    for j in range(num_stages):
+        heat, align = saved_for_loss[2 * j], saved_for_loss[2 * j + 1]
+        l1 = weighted_mse(heat, heat_gt, weight_ht)
+        l2 = weighted_mse(align, alignmap_gt, weight_align)
+        if not prior_subnet_only:
+            total = total + l1 + l2
+        logs[f"stage{j + 1}_heat"] = l1
+        logs[f"stage{j + 1}_align"] = l2
+
+    pred = saved_for_loss[-1]
+    a = prior_mask_conf.shape[-1]
+    hp, wp = pred.shape[1], pred.shape[2]
+    pred = pred.reshape(b, hp, wp, a, -1)
+    gt = prior_gt.reshape(b, hp, wp, a, -1)
+    mc = prior_mask_coord[..., None]
+
+    coords_pred, conf_pred, joints_pred = pred[..., :4], pred[..., 4], pred[..., 5:]
+    coords_gt, conf_gt, joints_gt = gt[..., :4], gt[..., 4], gt[..., 5:]
+
+    loss_coord = weighted_mse(coords_pred, coords_gt, mc) * 4
+    loss_obj = weighted_mse(conf_pred, conf_gt, prior_mask_conf)
+    # joint-position loss masked by GT visibility; visibility channels get
+    # the plain coord mask (reference: losses.py:521-529)
+    vis_gt = joints_gt[..., 2 * num_joints:]
+    selfpose_mask = jnp.concatenate(
+        [jnp.tile(mc * vis_gt[..., :num_joints], (1, 1, 1, 1, 2)),
+         jnp.tile(mc, (1, 1, 1, 1, num_joints))], axis=-1,
+    )
+    loss_selfpose = weighted_mse(joints_pred, joints_gt, selfpose_mask) * 3 * num_joints
+    loss_prior = loss_coord + loss_obj + loss_selfpose
+    total = total + loss_prior
+    logs["loss_prior"] = loss_prior
+    logs["loss_bbox"] = loss_coord
+    logs["loss_obj"] = loss_obj
+    logs["loss_selfpose"] = loss_selfpose
+    return total, logs

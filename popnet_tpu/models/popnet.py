@@ -86,3 +86,56 @@ class PopNet(nn.Module):
 
         saved_for_loss.append(prior)
         return (heat, z, align, prior), saved_for_loss
+
+
+class PopNetRGB(nn.Module):
+    """RGB PoP-Net variant: heat + align dense heads (no z) and a prior
+    subnet emitting A * (5 + 3K) channels of (box, conf, K x x, K x y,
+    K x visibility) — the head layout pop_net_rgb_loss trains
+    (reference: lib/network/losses.py:468-539)."""
+
+    num_parts: int = 16  # MPII
+    num_stages: int = 2
+    anchors: tuple[tuple[float, float], ...] = ((6.0, 3.0), (12.0, 6.0))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stem = ResPreprocessStem(dtype=self.dtype, name="stem")(x, train)
+
+        p = stem
+        for i in range(3):
+            p = ConvBN(256, 3, dtype=self.dtype, name=f"prior_tower{i}")(p, train)
+        p = max_pool_2x2(p)
+        p = ConvBN(256, 3, dtype=self.dtype, name="prior_head0")(p, train)
+        p = ConvBN(128, 3, dtype=self.dtype, name="prior_head1")(p, train)
+        n_out = len(self.anchors) * (5 + 3 * self.num_parts)
+        p = nn.Conv(n_out, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.normal(0.01), name="prior_out")(p)
+        prior = cast_prior_map(p, len(self.anchors), self.num_parts)
+
+        saved_for_loss = []
+        inp = stem
+        heat = align = None
+        for i in range(1, self.num_stages + 1):
+            if i == 1:
+                heat = CPMBranch(((128, 3), (128, 3), (128, 3), (512, 1)),
+                                 self.num_parts + 1, 1, self.dtype, norm=False,
+                                 name=f"stage{i}_heat")(inp, train)
+                align = CPMBranch(((256, 3), (256, 3), (256, 3), (128, 1)),
+                                  2 * self.num_parts, 1, self.dtype,
+                                  name=f"stage{i}_align")(inp, train)
+            else:
+                heat = CPMBranch(((128, 3),) * 5 + ((128, 1),),
+                                 self.num_parts + 1, 1, self.dtype, norm=False,
+                                 name=f"stage{i}_heat")(inp, train)
+                align = CPMBranch(((128, 3), (256, 3), (256, 3), (256, 3), (128, 1)),
+                                  2 * self.num_parts, 1, self.dtype,
+                                  name=f"stage{i}_align")(inp, train)
+            heat = nn.sigmoid(heat)
+            align = (nn.sigmoid(align) - 0.5) * 4.0
+            saved_for_loss += [heat, align]
+            inp = jnp.concatenate([heat, align, stem], axis=-1)
+
+        saved_for_loss.append(prior)
+        return (heat, align, prior), saved_for_loss
