@@ -16,13 +16,6 @@ import time
 import numpy as np
 
 import jax
-
-# persistent compile cache: first run pays the (slow, tunneled) compile,
-# later runs start in seconds
-os.makedirs(os.path.expanduser("~/.cache/popnet_tpu_jax"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/popnet_tpu_jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp
 
 from popnet_tpu.core.camera import KDH3D_INTRINSICS
