@@ -58,7 +58,7 @@ def build_pipeline(batch: int, dtype=jnp.bfloat16):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
