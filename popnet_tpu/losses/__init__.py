@@ -8,5 +8,6 @@ from popnet_tpu.losses.losses import (  # noqa: F401
     yolo_loss,
     popnet_loss,
     popnet_rgb_loss,
+    popnet_roi_loss,
     a2j_loss,
 )

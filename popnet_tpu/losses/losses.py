@@ -278,3 +278,46 @@ def popnet_rgb_loss(
     logs["loss_obj"] = loss_obj
     logs["loss_selfpose"] = loss_selfpose
     return total, logs
+
+
+def popnet_roi_loss(
+    saved_for_loss, heat_gt, zmap_gt, fg_mask_z, alignmap_gt, fg_mask_align,
+    obj_label, num_joints, pose_weights=None,
+    num_stages=2, prior_subnet_only=False, pred_vis=False,
+):
+    """ROI (single-person crop) PoP-Net loss: dense stages as in popnet_loss,
+    prior replaced by a direct pose-vector regression against obj_label
+    (reference: losses.py:109-234 pop_net_loss_fgweight_roi[_poseweight]).
+
+    saved_for_loss[-1]: (B, D) flat pose vector; obj_label (B, D);
+    pose_weights: optional (B, ...) rarity weights (mean per sample).
+    """
+    logs = {}
+    total = 0.0
+    weight_z = 0.1 + fg_mask_z * 0.9
+    b, h, w, _ = weight_z.shape
+    weight_ht = jnp.concatenate(
+        [weight_z, jnp.ones((b, h, w, 1), weight_z.dtype)], axis=-1
+    )
+    for j in range(num_stages):
+        heat, z, align = saved_for_loss[3 * j], saved_for_loss[3 * j + 1], saved_for_loss[3 * j + 2]
+        l1 = weighted_mse(heat, heat_gt, weight_ht)
+        l2 = weighted_mse(z, zmap_gt, weight_z)
+        l3 = weighted_mse(align, alignmap_gt, fg_mask_align)
+        if not prior_subnet_only:
+            total = total + l1 + l2 + l3
+        logs[f"stage{j + 1}_heat"] = l1
+        logs[f"stage{j + 1}_z"] = l2
+        logs[f"stage{j + 1}_align"] = l3
+
+    pred = saved_for_loss[-1].reshape(b, -1)
+    obj = obj_label.reshape(b, -1)
+    factor = (4 if pred_vis else 3) * num_joints
+    if pose_weights is None:
+        loss_prior = _mse(pred, obj) * factor
+    else:
+        tw = jnp.mean(pose_weights.reshape(b, -1), axis=1).reshape(b, 1)
+        loss_prior = weighted_mse(pred, obj, tw) * factor
+    total = total + loss_prior
+    logs["loss_prior"] = loss_prior
+    return total, logs

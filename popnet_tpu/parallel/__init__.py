@@ -4,3 +4,4 @@ from popnet_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from popnet_tpu.parallel.distributed import initialize, global_data_mesh  # noqa: F401
