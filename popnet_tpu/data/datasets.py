@@ -174,16 +174,48 @@ class _BaseDataset:
             batch["index"] = np.asarray(indices)
         return batch
 
-    def iter_batches(self, batch_size: int, shuffle: bool | None = None, drop_last=True):
+    def iter_batches(self, batch_size: int, shuffle: bool | None = None,
+                     drop_last: bool = True, prefetch: int = 2):
+        """Yield device batches; `prefetch` batches are assembled ahead on a
+        background thread so host IO overlaps device compute (replaces the
+        reference's DataLoader worker pool)."""
         order = np.arange(len(self))
         if shuffle if shuffle is not None else self.is_train:
             self.rng.shuffle(order)
         stop = len(order) - (len(order) % batch_size if drop_last else 0)
-        for s in range(0, stop, batch_size):
-            idx = order[s : s + batch_size]
-            if len(idx) < batch_size and drop_last:
+        starts = [s for s in range(0, stop, batch_size)
+                  if len(order[s : s + batch_size]) == batch_size or not drop_last]
+
+        if prefetch <= 0:
+            for s in starts:
+                yield self.get_batch(order[s : s + batch_size])
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        err = []
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(self.get_batch(order[s : s + batch_size]))
+            except Exception as e:  # surface worker errors to the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
                 break
-            yield self.get_batch(idx)
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
 
 class KDH3DDataset(_BaseDataset):
