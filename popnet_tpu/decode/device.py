@@ -10,9 +10,8 @@ Numerics match the host reference in the interior:
 - peaks: cross-footprint local maxima above threshold, top-K per joint;
 - sub-pixel refinement: the 5x5 patch bicubic upsample (cv2 INTER_CUBIC,
   Keys a=-0.75, half-pixel mapping, border replicate) is computed in closed
-  form as U @ patch @ U^T and argmax'd — identical to the reference for
-  peaks >= 2 cells from the border (the reference shrinks border patches;
-  here the patch is edge-clamped instead);
+  form as U @ patch @ U^T and argmax'd over the window the reference's
+  shrunken border patch covers — exact everywhere, borders included;
 - PAF sampling: direct bicubic evaluation of the x8-upsampled field at the
   10 rounded line points — exactly cv2.resize(...)[y, x] for the interior.
 """
@@ -102,6 +101,21 @@ def find_peaks_batched(
     U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (40, 5)
     up = jnp.einsum("ai,bkmij,cj->bkmac", U, patch, U)  # (B, K, M, 40, 40)
     S = size * factor
+
+    # restrict the argmax to the window the reference's shrunken border
+    # patch covers — with edge clamping the values inside that window are
+    # identical to resizing the smaller patch, so border peaks are exact too
+    # (reference: paf_to_pose.py:118-127 crops the patch at image borders)
+    kx0 = jnp.maximum(0, win_size - px)[..., None]           # (B, K, M, 1)
+    kx1 = win_size + jnp.minimum(W - 1 - px, win_size)[..., None]
+    ky0 = jnp.maximum(0, win_size - py)[..., None]
+    ky1 = win_size + jnp.minimum(H - 1 - py, win_size)[..., None]
+    cols = jnp.arange(S) // factor
+    col_ok = (cols[None, None, None, :] >= kx0) & (cols[None, None, None, :] <= kx1)
+    row_ok = (cols[None, None, None, :] >= ky0) & (cols[None, None, None, :] <= ky1)
+    window = row_ok[..., :, None] & col_ok[..., None, :]     # (B, K, M, S, S)
+    up = jnp.where(window, up, -jnp.inf)
+
     up_flat = up.reshape(B, num_joints, max_peaks, S * S)
     loc = jnp.argmax(up_flat, axis=-1)
     peak_score = jnp.max(up_flat, axis=-1)

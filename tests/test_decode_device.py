@@ -69,3 +69,31 @@ def test_device_peaks_match_host_nms():
             dev_sorted = dev[np.argsort(-dev[:, 2])]
             host_sorted = hp[np.argsort(-hp[:, 2])]
             np.testing.assert_allclose(dev_sorted[:, :3], host_sorted[:, :3], atol=1e-3)
+
+
+def test_device_peaks_exact_at_borders():
+    """Border peaks must match the host's shrunken-patch refinement exactly."""
+    from popnet_tpu.decode.peaks_np import nms_heatmaps
+
+    rng = np.random.default_rng(3)
+    heat = rng.uniform(0, 0.05, (1, 28, 28, 16)).astype(np.float32)
+    # plant strong peaks at corners/edges and one interior
+    for (x, y) in [(0, 0), (27, 0), (0, 27), (27, 27), (1, 13), (13, 1), (26, 13), (14, 14)]:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xx, yy = np.clip(x + dx, 0, 27), np.clip(y + dy, 0, 27)
+                heat[0, yy, xx, :15] = np.maximum(
+                    heat[0, yy, xx, :15], 0.9 - 0.25 * (abs(dx) + abs(dy)) + 0.01 * np.arange(15)
+                )
+
+    peaks, valid = find_peaks_batched(jnp.asarray(heat))
+    peaks = np.asarray(peaks)
+    valid = np.asarray(valid)
+    host = nms_heatmaps(heat[0].astype(np.float64))
+    for k in range(15):
+        n = int(valid[0, k].sum())
+        assert n == len(host[k])
+        dev = peaks[0, k, :n]
+        dev = dev[np.lexsort((dev[:, 1], dev[:, 0]))]
+        hp = host[k][np.lexsort((host[k][:, 1], host[k][:, 0]))]
+        np.testing.assert_allclose(dev[:, :3], hp[:, :3], atol=1e-3)
