@@ -25,9 +25,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from popnet_tpu.core.camera import CameraIntrinsics
+from popnet_tpu.core.camera import CameraIntrinsics, back_project
 from popnet_tpu.core.config import DecodeConfig, DepthStats, EncoderConfig
-from popnet_tpu.core.skeleton import KEYPOINT_NAMES, joint_to_zchannel
+from popnet_tpu.core.skeleton import KEYPOINT_NAMES
 from popnet_tpu.decode import paf_np, prior as prior_decode, readout
 from popnet_tpu.decode.assemble import assemble_batch
 from popnet_tpu.decode.device import find_peaks_batched, score_limb_pairs_batched
@@ -45,9 +45,7 @@ def _scale_visible(human, vis, sx, sy):
 
 
 def _back_project(h2d, z, cam: CameraIntrinsics):
-    x = (h2d[:, 0] - cam.cx) * z / cam.fx
-    y = (h2d[:, 1] - cam.cy) * z / cam.fy
-    return np.stack([x, y, np.asarray(z)], axis=1)
+    return back_project(h2d[:, 0], h2d[:, 1], np.asarray(z), cam)
 
 
 def run_openpose_eval(
@@ -67,7 +65,10 @@ def run_openpose_eval(
     cam = dataset.intrinsics or dataset.dcfg.intrinsics
     depth: DepthStats = dataset.dcfg.depth
     w_org, h_org = dataset.dcfg.width, dataset.dcfg.height
-    j2chn = joint_to_zchannel()
+    # z-branch channels are joint-ordered: the encoder trains channel k
+    # against joint k, and the reference eval overrides joint2chn to the
+    # identity too (reference:
+    # evaluation_rtpose_light3d_kdh3d_mpreal_ablation.py:101)
 
     native_mod = None
     if fast and use_native:
@@ -142,7 +143,7 @@ def run_openpose_eval(
                     if visibility[i][j] > 0.5:
                         hd[j] = readout.retrieve_depth_heat_weighted(
                             [int(joint[0] / dcfg.downsample), int(joint[1] / dcfg.downsample)],
-                            zmap[b, :, :, j2chn[j]], heat[b, :, :, j2chn[j]].copy(),
+                            zmap[b, :, :, j], heat[b, :, :, j].copy(),
                             radius=1,
                         )
                         yy = int(np.clip(joint[1], 0, raw_img.shape[1] - 1))

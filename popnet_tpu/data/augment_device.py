@@ -103,14 +103,20 @@ def sample_augment_params(
     T_rd = np.array([[1, 0, -new_xmin], [0, 1, -new_ymin]], dtype=np.float64)
 
     # --- Crop ---
-    cl = float(rng.uniform(0, max_crop)) if max_crop > 0 else 0.0
-    cr = float(rng.uniform(0, max_crop)) if max_crop > 0 else 0.0
-    ct = float(rng.uniform(0, max_crop)) if max_crop > 0 else 0.0
-    cb = float(rng.uniform(0, max_crop)) if max_crop > 0 else 0.0
-    c_xmin = int(min(cl * rd_w, rd_w))
-    c_ymin = int(min(ct * rd_h, rd_h))
-    c_xmax = int(max(rd_w - 1 - cr * rd_w, 0))
-    c_ymax = int(max(rd_h - 1 - cb * rd_h, 0))
+    if max_crop > 0:
+        cl = float(rng.uniform(0, max_crop))
+        cr = float(rng.uniform(0, max_crop))
+        ct = float(rng.uniform(0, max_crop))
+        cb = float(rng.uniform(0, max_crop))
+        c_xmin = int(min(cl * rd_w, rd_w))
+        c_ymin = int(min(ct * rd_h, rd_h))
+        c_xmax = int(max(rd_w - 1 - cr * rd_w, 0))
+        c_ymax = int(max(rd_h - 1 - cb * rd_h, 0))
+    else:
+        # no Crop stage at all (the reference eval pipeline is
+        # Cvt2ndarray + Resize only) — do NOT apply Crop's 1-px shave
+        c_xmin = c_ymin = 0
+        c_xmax, c_ymax = rd_w, rd_h
     crop_w = c_xmax - c_xmin
     crop_h = c_ymax - c_ymin
     T_c = np.array([[1, 0, -c_xmin], [0, 1, -c_ymin]], dtype=np.float64)

@@ -195,25 +195,42 @@ class _BaseDataset:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
         err = []
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment (GeneratorExit)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for s in starts:
-                    q.put(self.get_batch(order[s : s + batch_size]))
+                    if stop.is_set():
+                        return
+                    if not _put(self.get_batch(order[s : s + batch_size])):
+                        return
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
         if err:
             raise err[0]
 

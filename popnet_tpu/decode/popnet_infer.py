@@ -106,7 +106,7 @@ def popnet_decode(
     # alignment confidence: where local heat evidence is weak, keep the
     # prior subnet's direct prediction
     heat_at = jax.vmap(
-        lambda h, x, y, kk_: h[y, x, kk_]
+        lambda h, yy_, xx_, kk_: h[yy_, xx_, kk_]
     )(heat, cy, cx, jnp.broadcast_to(jnp.arange(K)[None, None, :], cx.shape))
     use_align = heat_at > dcfg.thresh_heatmap
     out_x = jnp.where(use_align, ref_x / Wg, jx) * w_out

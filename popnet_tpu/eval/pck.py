@@ -39,8 +39,10 @@ __all__ = [
 def compute_bbox_from_humans(humans):
     """Tight bbox over valid ([-1,-1]-free) joints per human.
 
-    Returns (N, 4) [xmin, ymin, xmax, ymax]. Mirrors the reference quirk of
-    returning an empty array if any human has no valid joints
+    Returns (N, 4) [xmin, ymin, xmax, ymax]. Like the reference, a human
+    with no valid joints yields an empty array (which downstream treats as
+    "no predictions"); callers matching GT humans raise a clear error
+    instead of the reference's IndexError
     (reference: util/eval_pck.py:433-449).
     """
     bboxes = []
@@ -87,6 +89,8 @@ def match_humans_2d(humans_pred, humans_gt, iou_th: float = 0.5):
         return [np.full(len(h), -1.0) for h in humans_gt]
 
     bboxes_gt = compute_bbox_from_humans(humans_gt)
+    if bboxes_gt.ndim != 2:
+        raise ValueError("a GT human has no valid joints (all [-1, -1])")
     bboxes_pred = compute_bbox_from_humans(humans_pred)
     ious = bbox_ious(bboxes_gt, bboxes_pred)
 
@@ -113,6 +117,8 @@ def match_humans_3d(humans_pred_2d, humans_gt_2d, humans_pred_3d, humans_gt_3d, 
         return [np.full(len(h), -1.0) for h in humans_gt_2d]
 
     bboxes_gt = compute_bbox_from_humans(humans_gt_2d)
+    if bboxes_gt.ndim != 2:
+        raise ValueError("a GT human has no valid joints (all [-1, -1])")
     bboxes_pred = compute_bbox_from_humans(humans_pred_2d)
     ious = bbox_ious(bboxes_gt, bboxes_pred)
 

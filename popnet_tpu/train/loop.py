@@ -77,30 +77,41 @@ class Trainer:
         self.history = []
 
     def train_epoch(self, dataset, batch_size: int):
-        batch_time, data_time, losses = AverageMeter(), AverageMeter(), AverageMeter()
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        device_losses = []  # sync once per epoch, not per step
         end = time.time()
         for i, batch in enumerate(dataset.iter_batches(batch_size)):
             data_time.update(time.time() - end)
             batch = shard_batch(batch, self.mesh)
             self.state, logs = self.step_fn(self.state, batch)
-            loss = float(logs["loss"])
-            losses.update(loss, batch_size)
+            device_losses.append(logs["loss"])
             batch_time.update(time.time() - end)
             end = time.time()
             if i % self.print_freq == 0:
+                # materializing the scalar blocks on the device only here
                 print(
-                    f"epoch {self.epoch} [{i}] loss {losses.val:.4f} ({losses.avg:.4f}) "
+                    f"epoch {self.epoch} [{i}] loss {float(logs['loss']):.4f} "
                     f"batch {batch_time.avg:.3f}s data {data_time.avg:.3f}s "
                     f"lr {get_learning_rate(self.state):.4g}"
                 )
-        return losses.avg
+        return float(np.mean([float(l) for l in device_losses])) if device_losses else 0.0
 
     def validate(self, dataset, batch_size: int):
         losses = AverageMeter()
-        for batch in dataset.iter_batches(batch_size, shuffle=False):
-            batch = shard_batch(batch, self.mesh)
+        n_dev = len(self.mesh.devices.ravel())
+        for batch in dataset.iter_batches(batch_size, shuffle=False, drop_last=False):
+            n = int(np.asarray(batch["image"]).shape[0])
+            # a ragged tail batch can't shard over the mesh; score it on one
+            # device via the plain jit
+            if n % n_dev == 0:
+                batch = shard_batch(batch, self.mesh)
             loss = float(self.eval_loss_fn(self.state, batch))
-            losses.update(loss, batch_size)
+            losses.update(loss, n)
+        if losses.count == 0:
+            raise ValueError(
+                f"validation set yielded no batches (len={len(dataset)}, "
+                f"batch_size={batch_size})"
+            )
         return losses.avg
 
     def fit(self, train_ds, val_ds, epochs: int, batch_size: int,

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from popnet_tpu.core.config import DecodeConfig, EncoderConfig
-from popnet_tpu.core.skeleton import joint_to_zchannel
 from popnet_tpu.cli import evaluate as ev
 from popnet_tpu.data.datasets import MPRealDataset
 from popnet_tpu.data.labels import pack_annotations, OOB
@@ -70,17 +69,12 @@ def make_oracle(dataset):
 
 def test_openpose_driver_oracle(dataset):
     targets = make_oracle(dataset)
-    j2chn = joint_to_zchannel()
-    inv = np.argsort(j2chn)  # z-branch channel c holds joint inv[c]... build map
 
     def infer(images):
+        # z-branch channels are joint-ordered (as trained and as the
+        # reference eval reads them)
         t = targets(images.shape[0])
-        zm = np.asarray(t["zmaps"])
-        # the z branch is indexed by joint2chn: channel j2chn[k] = joint k
-        z_model = np.empty_like(zm)
-        for k in range(15):
-            z_model[..., j2chn[k]] = zm[..., k]
-        return t["pafs"], t["heatmaps"], jnp.asarray(z_model)
+        return t["pafs"], t["heatmaps"], t["zmaps"]
 
     data = ev.run_openpose_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
     res = ev.evaluate_predictions(
