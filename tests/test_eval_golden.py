@@ -157,3 +157,47 @@ def test_map_3d_golden(scene):
         joint_names=list(KEYPOINT_NAMES), thresh=0.1, verbose=False,
     )
     np.testing.assert_allclose(ref, ours, rtol=1e-9)
+
+
+@pytest.mark.reference
+def test_pckh_rect_golden(scene):
+    gt2d, _, pred2d, _, _, _ = scene
+    rng = np.random.default_rng(5)
+    head_sz_set = []
+    for humans in gt2d:
+        rects = []
+        for h in humans:
+            x, y = h[0][0], h[0][1]
+            rects.append([x - 15, y - 20, x + 15 + rng.uniform(0, 5), y + 10])
+        head_sz_set.append(rects)
+    ref = ref_pck.eval_human_dataset_2d_PCKh_rect(
+        pred2d, gt2d, head_sz_set, num_joints=K, h_th=0.5, iou_th=0.5
+    )
+    ours = our_pck.eval_human_dataset_2d_pckh_rect(
+        pred2d, gt2d, head_sz_set, num_joints=K, h_th=0.5, iou_th=0.5
+    )
+    np.testing.assert_allclose(ref[0], ours[0], rtol=1e-12)
+    np.testing.assert_allclose(ref[1], ours[1], rtol=1e-12)
+
+
+@pytest.mark.reference
+def test_map_2d_headrect_golden(scene):
+    gt2d, _, pred2d, _, conf, _ = scene
+    rng = np.random.default_rng(6)
+    head_sz_set = []
+    for humans in gt2d:
+        rects = []
+        for h in humans:
+            x, y = h[0][0], h[0][1]
+            rects.append([x - 15, y - 20, x + 15 + rng.uniform(0, 5), y + 10])
+        head_sz_set.append(rects)
+    ref = ref_map.eval_ap_mpii(
+        pred2d, [list(c) for c in conf], gt2d, gt_visibility_set=[],
+        head_sz_set=head_sz_set, joint_names=[str(i) for i in range(K)], thresh=0.5,
+    )
+    ours = our_map.eval_ap_mpii(
+        pred2d, [list(c) for c in conf], gt2d, gt_visibility_set=[],
+        head_sz_set=head_sz_set, joint_names=[str(i) for i in range(K)],
+        thresh=0.5, verbose=False,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=1e-9)
