@@ -264,3 +264,109 @@ class Resize:
                 lb["bbox"][1:4:2] = lb["bbox"][1:4:2].astype(np.float64) * hr
             out.append(lb)
         return image, out
+
+
+class CropPoseRoi:
+    """Crop a random person's joints+margin ROI; keeps only that person's
+    label (the A2J / ROI-model input crop,
+    reference: data_augmentation_2d3d.py:131-169)."""
+
+    def __init__(self, joint2box_margin: float = 20, rng: np.random.Generator | None = None):
+        self.joint2box_margin = joint2box_margin
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data):
+        image, label = data
+        rnd_id = int(self.rng.integers(len(label)))
+        return self.apply(image, label, rnd_id, self.joint2box_margin)
+
+    @staticmethod
+    def apply(image, label, person_idx, margin):
+        height, width = image.shape[:2]
+        j = np.asarray(label[person_idx]["2d_joints"])
+        xmin = j[:, 0].min() - margin
+        ymin = j[:, 1].min() - margin
+        xmax = j[:, 0].max() + margin
+        ymax = j[:, 1].max() + margin
+        return _apply_roi(image, label, person_idx, xmin, ymin, xmax, ymax, height, width)
+
+
+class CropPoseRoiJitter:
+    """ROI crop with random aspect shrink
+    (reference: data_augmentation_2d3d.py:172-231)."""
+
+    def __init__(self, joint2box_margin: float = 20, max_aspect_jitter: float = 0.2,
+                 rng: np.random.Generator | None = None):
+        self.joint2box_margin = joint2box_margin
+        self.max_aspect_jitter = max_aspect_jitter
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data):
+        image, label = data
+        w_jitter = self.rng.uniform(1 - self.max_aspect_jitter, 1)
+        h_jitter = self.rng.uniform(1 - self.max_aspect_jitter, 1)
+        rnd_id = int(self.rng.integers(len(label)))
+        return self.apply(image, label, rnd_id, self.joint2box_margin, w_jitter, h_jitter)
+
+    @staticmethod
+    def apply(image, label, person_idx, margin, w_jitter, h_jitter):
+        height, width = image.shape[:2]
+        j = np.asarray(label[person_idx]["2d_joints"])
+        xmin = j[:, 0].min() - margin
+        ymin = j[:, 1].min() - margin
+        xmax = j[:, 0].max() + margin
+        ymax = j[:, 1].max() + margin
+        cx = (xmin + xmax) / 2
+        cy = (ymin + ymax) / 2
+        crop_w = (xmax - xmin) * w_jitter
+        crop_h = (ymax - ymin) * h_jitter
+        return _apply_roi(
+            image, label, person_idx, cx - crop_w / 2, cy - crop_h / 2,
+            cx + crop_w / 2, cy + crop_h / 2, height, width,
+        )
+
+
+class CropPoseRoiV2:
+    """ROI crop sized by margin ratios of the joint box
+    (reference: data_augmentation_2d3d.py:234-279)."""
+
+    def __init__(self, margin_ratio_x: float = 2.0, margin_ratio_y: float = 1.5,
+                 rng: np.random.Generator | None = None):
+        self.margin_ratio_x = margin_ratio_x
+        self.margin_ratio_y = margin_ratio_y
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data):
+        image, label = data
+        rnd_id = int(self.rng.integers(len(label)))
+        return self.apply(image, label, rnd_id, self.margin_ratio_x, self.margin_ratio_y)
+
+    @staticmethod
+    def apply(image, label, person_idx, margin_ratio_x, margin_ratio_y):
+        height, width = image.shape[:2]
+        j = np.asarray(label[person_idx]["2d_joints"])
+        xc = (j[:, 0].min() + j[:, 0].max()) / 2
+        yc = (j[:, 1].min() + j[:, 1].max()) / 2
+        bw = j[:, 0].max() - j[:, 0].min()
+        bh = j[:, 1].max() - j[:, 1].min()
+        return _apply_roi(
+            image, label, person_idx,
+            xc - bw / 2 * margin_ratio_x, yc - bh / 2 * margin_ratio_y,
+            xc + bw / 2 * margin_ratio_x, yc + bh / 2 * margin_ratio_y,
+            height, width,
+        )
+
+
+def _apply_roi(image, label, person_idx, xmin, ymin, xmax, ymax, height, width):
+    new_xmin = int(max(0, min(width, xmin)))
+    new_ymin = int(max(0, min(height, ymin)))
+    new_xmax = int(max(0, min(width, xmax)))
+    new_ymax = int(max(0, min(height, ymax)))
+    image = image[new_ymin:new_ymax, new_xmin:new_xmax]
+    lb = copy.deepcopy(label[person_idx])
+    lb["2d_joints"][:, 0] -= new_xmin
+    lb["2d_joints"][:, 1] -= new_ymin
+    if "bbox" in lb:
+        lb["bbox"][0:4:2] -= new_xmin
+        lb["bbox"][1:4:2] -= new_ymin
+    return image, [lb]

@@ -126,3 +126,35 @@ def test_full_pipeline_golden():
     o_img, o_lab = ah.Resize(224)((o_img, o_lab))
     np.testing.assert_allclose(o_img, ref_img, atol=1e-5)
     assert_labels_equal(o_lab, ref_lab)
+
+
+@pytest.mark.reference
+def test_crop_pose_roi_golden():
+    img, anns = scene(9)
+    anns = [dict(a, **{"2d_joints": np.asarray(a["2d_joints"], np.float32),
+                       "bbox": np.asarray(a["bbox"], np.float64)}) for a in anns]
+    np.random.seed(3)
+    rnd = np.random.randint(len(anns), size=1)[0]
+    np.random.seed(3)
+    ref_img, ref_lab = ref_aug.CropPoseRoi(20)(
+        (img.copy(), [{k: (v.copy() if hasattr(v, "copy") else v) for k, v in a.items()} for a in anns])
+    )
+    our_img, our_lab = ah.CropPoseRoi.apply(img.copy(), anns, rnd, 20)
+    np.testing.assert_array_equal(our_img, ref_img)
+    assert_labels_equal(our_lab, ref_lab)
+
+
+@pytest.mark.reference
+def test_crop_pose_roi_v2_golden():
+    img, anns = scene(10)
+    anns = [dict(a, **{"2d_joints": np.asarray(a["2d_joints"], np.float32),
+                       "bbox": np.asarray(a["bbox"], np.float64)}) for a in anns]
+    np.random.seed(7)
+    rnd = np.random.randint(len(anns), size=1)[0]
+    np.random.seed(7)
+    ref_img, ref_lab = ref_aug.CropPoseRoiV2(2.0, 1.5)(
+        (img.copy(), [{k: (v.copy() if hasattr(v, "copy") else v) for k, v in a.items()} for a in anns])
+    )
+    our_img, our_lab = ah.CropPoseRoiV2.apply(img.copy(), anns, rnd, 2.0, 1.5)
+    np.testing.assert_array_equal(our_img, ref_img)
+    assert_labels_equal(our_lab, ref_lab)
