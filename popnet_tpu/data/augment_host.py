@@ -370,3 +370,72 @@ def _apply_roi(image, label, person_idx, xmin, ymin, xmax, ymax, height, width):
         lb["bbox"][0:4:2] -= new_xmin
         lb["bbox"][1:4:2] -= new_ymin
     return image, [lb]
+
+
+class RandomScaleRGB:
+    """RGB scale crop/pad (RenderDepth's geometry without depth scaling;
+    the reference file spells it 'RandomSacleRGB',
+    reference: data_augmentation_2d3d.py:354-407)."""
+
+    def __init__(self, min_ratio=0.7, max_ratio=1.3, rng: np.random.Generator | None = None):
+        self.min_ratio = min_ratio
+        self.max_ratio = max_ratio
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, data):
+        a = self.rng.uniform(self.min_ratio, self.max_ratio)
+        image, label = data
+        return self.apply(image, label, a)
+
+    @staticmethod
+    def apply(image, label, a):
+        height, width, chn = image.shape
+        cx, cy = width / 2, height / 2
+        new_xmin = int(a * (0 - cx) + cx)
+        new_ymin = int(a * (0 - cy) + cy)
+        new_xmax = int(a * (width - cx) + cx)
+        new_ymax = int(a * (height - cy) + cy)
+        ax = (new_xmin - cx) / (0 - cx)
+        ay = (new_ymin - cy) / (0 - cy)
+        a = (ax + ay) / 2
+        if a <= 1:
+            new_image = image[new_ymin:new_ymax, new_xmin:new_xmax]
+        else:
+            new_image = np.zeros(
+                (new_ymax - new_ymin + 1, new_xmax - new_xmin + 1, chn), np.float32
+            )
+            new_image[-new_ymin : -new_ymin + height, -new_xmin : -new_xmin + width] = image
+        out = []
+        for lb in label:
+            lb = copy.deepcopy(lb)
+            lb["2d_joints"][:, 0] -= new_xmin
+            lb["2d_joints"][:, 1] -= new_ymin
+            if "bbox" in lb:
+                lb["bbox"][0:4:2] -= new_xmin
+                lb["bbox"][1:4:2] -= new_ymin
+            out.append(lb)
+        return new_image, out
+
+
+class SquarePadRGB:
+    """Zero-pad an RGB image to a centered square
+    (reference: data_augmentation_2d3d.py:526-552)."""
+
+    def __call__(self, data):
+        image, label = data
+        height, width, chn = image.shape
+        edge = max(height, width)
+        new_image = np.zeros((edge, edge, chn), np.float32)
+        x0 = int((edge - width) / 2)
+        y0 = int((edge - height) / 2)
+        new_image[y0 : y0 + height, x0 : x0 + width] = image
+        out = []
+        for lb in label:
+            lb = copy.deepcopy(lb)
+            lb["2d_joints"][:, 0] += x0
+            lb["2d_joints"][:, 1] += y0
+            if "bbox" in lb:
+                lb["bbox"][0:4:2] += x0
+                lb["bbox"][1:4:2] += y0
+            out.append(lb)
+        return new_image, out

@@ -158,3 +158,24 @@ def test_crop_pose_roi_v2_golden():
     our_img, our_lab = ah.CropPoseRoiV2.apply(img.copy(), anns, rnd, 2.0, 1.5)
     np.testing.assert_array_equal(our_img, ref_img)
     assert_labels_equal(our_lab, ref_lab)
+
+
+@pytest.mark.reference
+def test_rgb_transforms_golden():
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 255, (240, 320, 3)).astype(np.float32)
+    anns = [{"2d_joints": rng.uniform(10, 230, (15, 2)).astype(np.float32),
+             "3d_joints": np.zeros((15, 3), np.float32),
+             "bbox": np.array([10.0, 10.0, 200.0, 200.0])}]
+
+    patch_uniform(ref_aug, [0.35])
+    a = 0.7 + (1.3 - 0.7) * 0.35
+    ref_img, ref_lab = ref_aug.RandomSacleRGB()((img.copy(), [dict(x) for x in anns]))
+    our_img, our_lab = ah.RandomScaleRGB.apply(img.copy(), anns, a)
+    np.testing.assert_allclose(our_img, ref_img, atol=1e-6)
+    assert_labels_equal(our_lab, ref_lab)
+
+    ref_img, ref_lab = ref_aug.SquarePadRGB()((img.copy(), [dict(x) for x in anns]))
+    our_img, our_lab = ah.SquarePadRGB()((img.copy(), anns))
+    np.testing.assert_array_equal(our_img, ref_img)
+    assert_labels_equal(our_lab, ref_lab)
