@@ -142,3 +142,103 @@ def generate_mpaug_set(dataset, out_dir: str, n_images: int | None = None):
     (reference: generate_kdh3d_mpaug_set.py:84-169). `dataset` is a
     KDH3DMPAugDataset."""
     return _freeze(dataset, out_dir, n_images)
+
+
+# Kinect raw joint names used by the KDH3D recordings
+# (reference: parse_raw_KDH3D_dataset.py:32-41 joint_names; the 15-joint
+# subset maps onto the ITOP skeleton order)
+KINECT_JOINT_SUBSET = (
+    "HEAD", "NECK", "SHOULDER_RIGHT", "SHOULDER_LEFT", "ELBOW_RIGHT",
+    "ELBOW_LEFT", "WRIST_RIGHT", "WRIST_LEFT", "SPINE_NAVAL", "HIP_RIGHT",
+    "HIP_LEFT", "KNEE_RIGHT", "KNEE_LEFT", "ANKLE_RIGHT", "ANKLE_LEFT",
+)
+
+
+def convert_raw_kdh3d_recordings(
+    depth_data_files, out_dir: str, train_files=None, joint_subset=KINECT_JOINT_SUBSET,
+):
+    """Raw KDH3D recordings -> per-frame depth/seg .npy + label JSONs.
+
+    Each recording is a stack: <name>.npy (N, H, W) depth in mm,
+    <name>_mask.npy seg stacks, <name>_label.json with
+    {3D_joint_positions (mm), 2D_joint_positions, bounding_boxes,
+    joint_names, intrinsics}, <name>_drop.json {drop_list}. Converts mm -> m,
+    selects the 15-joint subset, attaches pose-rarity weights, and writes
+    labels.json / labels_train.json / labels_test.json
+    (reference: parse_raw_KDH3D_dataset.py:128-230).
+    """
+    import json as _json
+
+    depth_out = os.path.join(out_dir, "depth_maps")
+    seg_out = os.path.join(out_dir, "seg_maps")
+    os.makedirs(depth_out, exist_ok=True)
+    os.makedirs(seg_out, exist_ok=True)
+    train_files = set(train_files or depth_data_files)
+
+    # pass 1: gather all 3D poses for the rarity statistics
+    all_poses = []
+    per_file = []
+    intrinsics = None
+    for depth_file in depth_data_files:
+        stem = depth_file[: depth_file.rfind(".")]
+        annos = _json.load(open(f"{stem}_label.json"))
+        drop = set(_json.load(open(f"{stem}_drop.json"))["drop_list"])
+        j3 = np.asarray(annos["3D_joint_positions"], dtype=np.float64) / 1000.0
+        keep = [i for i in range(j3.shape[0]) if i not in drop]
+        sub = [annos["joint_names"].index(n) for n in joint_subset]
+        j3 = j3[keep][:, sub]
+        j2 = np.asarray(annos["2D_joint_positions"], dtype=np.float64)[keep][:, sub]
+        bb = np.asarray(annos["bounding_boxes"], dtype=np.float64)[keep]
+        intrinsics = annos.get("intrinsics", intrinsics)
+        per_file.append((depth_file, stem, keep, j2, j3, bb))
+        all_poses.append(j3)
+
+    weights, mean, std = compute_pose_weights(np.concatenate(all_poses, 0))
+
+    labels, labels_train, labels_test = {}, {}, {}
+    img_id = 0
+    for depth_file, stem, keep, j2, j3, bb in per_file:
+        depth_maps = np.load(depth_file).astype(np.float32)[keep] / 1000.0
+        seg_maps = np.load(f"{stem}_mask.npy")[keep]
+        is_train = depth_file in train_files
+        for i in range(depth_maps.shape[0]):
+            name = f"{img_id:08d}.npy"
+            np.save(os.path.join(depth_out, name), depth_maps[i])
+            np.save(os.path.join(seg_out, name), seg_maps[i])
+            ann = {
+                "2d_joints": j2[i].tolist(),
+                "3d_joints": j3[i].tolist(),
+                "bbox": bb[i].tolist(),
+                "pose_weight": float(weights[img_id]),
+            }
+            labels[name] = [ann]
+            (labels_train if is_train else labels_test)[name] = [ann]
+            img_id += 1
+
+    for d in (labels, labels_train, labels_test):
+        if intrinsics is not None:
+            d["intrinsics"] = intrinsics
+    _json.dump(labels, open(os.path.join(out_dir, "labels.json"), "w"))
+    _json.dump(labels_train, open(os.path.join(out_dir, "labels_train.json"), "w"))
+    _json.dump(labels_test, open(os.path.join(out_dir, "labels_test.json"), "w"))
+    return labels, mean, std
+
+
+def convert_raw_bg_recordings(bg_data_files, out_dir: str):
+    """Raw background recordings -> bg_maps/*.npy + labels_bg.json
+    (reference: parse_raw_KDH3D_bg.py). Depth stacks in mm."""
+    import json as _json
+
+    bg_out = os.path.join(out_dir, "bg_maps")
+    os.makedirs(bg_out, exist_ok=True)
+    index = {}
+    img_id = 0
+    for f in bg_data_files:
+        stack = np.load(f).astype(np.float32) / 1000.0
+        for i in range(stack.shape[0]):
+            name = f"bg_{img_id:06d}.npy"
+            np.save(os.path.join(bg_out, name), stack[i])
+            index[str(img_id)] = {"file_name": name}
+            img_id += 1
+    _json.dump(index, open(os.path.join(out_dir, "labels_bg.json"), "w"))
+    return index

@@ -98,3 +98,45 @@ def test_visualizers(tmp_path):
     assert img.shape == (512, 480, 3) and img.dtype == np.uint8
     img2 = visualize_pred(depth, [np.asarray(anns[0]["2d_joints"])])
     assert img2.shape == (512, 480, 3)
+
+
+def test_convert_raw_kdh3d_recordings(tmp_path):
+    """End-to-end raw-recording conversion on a synthetic recording."""
+    rng = np.random.default_rng(3)
+    n, h, w = 6, 64, 60
+    kin_names = ["PELVIS", "SPINE_NAVAL", "NECK", "HEAD", "SHOULDER_LEFT",
+                 "SHOULDER_RIGHT", "ELBOW_LEFT", "ELBOW_RIGHT", "WRIST_LEFT",
+                 "WRIST_RIGHT", "HIP_LEFT", "HIP_RIGHT", "KNEE_LEFT",
+                 "KNEE_RIGHT", "ANKLE_LEFT", "ANKLE_RIGHT", "NOSE"]
+    depth = rng.uniform(500, 5500, (n, h, w)).astype(np.float32)
+    seg = (rng.uniform(size=(n, h, w)) > 0.7).astype(np.float32)
+    j3 = rng.normal(0, 300, (n, len(kin_names), 3)) + [0, 0, 3000]
+    j2 = rng.uniform(0, 60, (n, len(kin_names), 2))
+    bb = np.tile([5.0, 5.0, 55.0, 55.0], (n, 1))
+    rec = tmp_path / "rec0.npy"
+    np.save(rec, depth)
+    np.save(tmp_path / "rec0_mask.npy", seg)
+    json.dump(
+        {"3D_joint_positions": j3.tolist(), "2D_joint_positions": j2.tolist(),
+         "bounding_boxes": bb.tolist(), "joint_names": kin_names,
+         "intrinsics": {"fx": 504.1, "fy": 504.0, "cx": 231.7, "cy": 320.6}},
+        open(tmp_path / "rec0_label.json", "w"),
+    )
+    json.dump({"drop_list": [1]}, open(tmp_path / "rec0_drop.json", "w"))
+
+    labels, mean, std = construction.convert_raw_kdh3d_recordings(
+        [str(rec)], str(tmp_path / "out")
+    )
+    img_keys = [k for k in labels if k != "intrinsics"]
+    assert len(img_keys) == n - 1  # one dropped frame
+    a = labels[img_keys[0]][0]
+    assert len(a["2d_joints"]) == 15 and "pose_weight" in a
+    d = np.load(os.path.join(tmp_path, "out", "depth_maps", img_keys[0]))
+    assert d.max() < 6.0  # mm -> m conversion
+
+    # bg conversion
+    bgs = np.save(tmp_path / "bgrec.npy", depth)
+    idx = construction.convert_raw_bg_recordings(
+        [str(tmp_path / "bgrec.npy")], str(tmp_path / "out")
+    )
+    assert len(idx) == n
