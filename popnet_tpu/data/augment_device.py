@@ -228,3 +228,29 @@ def warp_depth_batch(
         return out * scale
 
     return jax.vmap(one)(images, inv_mats, depth_scales, flips)
+
+
+def params_from_box(box, out_h: int = 224, out_w: int = 224, src_w: int = 480):
+    """AffineParams for a plain integer ROI crop + resize (the CropPoseRoi ->
+    Resize pipeline of the ROI model variants,
+    reference: data_augmentation_2d3d.py:131-169, 497-522)."""
+    x0, y0, x1, y1 = (int(v) for v in box)
+    crop_w = max(x1 - x0, 1)
+    crop_h = max(y1 - y0, 1)
+    wr = float(out_w) / crop_w
+    hr = float(out_h) / crop_h
+    label_mat = np.array([[wr, 0, -x0 * wr], [0, hr, -y0 * hr]], dtype=np.float32)
+    inv_mat = np.array(
+        [[1 / wr, 0, 0.5 / wr - 0.5 + x0], [0, 1 / hr, 0.5 / hr - 0.5 + y0]],
+        dtype=np.float32,
+    )
+    return AffineParams(
+        label_mat=label_mat,
+        bbox_scale=np.array([wr, hr], np.float32),
+        bbox_offset=np.array([-x0 * wr, -y0 * hr], np.float32),
+        inv_mat=inv_mat,
+        depth_scale=1.0,
+        rot_deg=0.0,
+        flip=False,
+        src_w=src_w,
+    )

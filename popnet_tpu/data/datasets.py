@@ -481,3 +481,58 @@ class KDH3DMPAugAdvDataset(KDH3DMPAugDataset):
         if not self.is_train:
             batch["index"] = np.asarray(indices)
         return batch
+
+
+class ROIDataset(_BaseDataset):
+    """Single-person ROI crops for the ROI PoP-Net / A2J-style variants:
+    crop a random person's joints+margin box, resize to the input, and
+    encode GT maps in crop space (reference: datasets_itop_roi.py via
+    CropPoseRoi + Resize, lib/utils/common.py bbox_from_human)."""
+
+    def __init__(self, img_dir, ann_file, joint2box_margin: float = 20.0, **kw):
+        kw.setdefault("with_prior", False)
+        super().__init__(img_dir, ann_file, **kw)
+        self.joint2box_margin = joint2box_margin
+
+    def load_composited(self, index):
+        image_id = self.ids[index]
+        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        return depth, list(self.anno_dic[image_id])
+
+    def get_batch(self, indices):
+        h, w = self.dcfg.height, self.dcfg.width
+        iy, ix = self.ecfg.input_y, self.ecfg.input_x
+        images, inv_mats, packed = [], [], []
+        for idx in indices:
+            depth, anns = self.load_composited(int(idx))
+            images.append(depth)
+            person = int(self.rng.integers(len(anns)))
+            j = np.asarray(anns[person]["2d_joints"])
+            m = self.joint2box_margin
+            box = [
+                max(0, min(w, j[:, 0].min() - m)), max(0, min(h, j[:, 1].min() - m)),
+                max(0, min(w, j[:, 0].max() + m)), max(0, min(h, j[:, 1].max() + m)),
+            ]
+            params = ad.params_from_box(box, iy, ix, src_w=w)
+            inv_mats.append(params.inv_mat)
+            pk = pack_annotations([anns[person]], self.ecfg.max_people, self.ecfg.num_joints)
+            j2, j3, bb = ad.transform_labels(params, pk.joints2d, pk.joints3d, pk.bboxes)
+            j2[~pk.valid] = OOB
+            packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
+
+        B = len(indices)
+        batch = prepare_batch(
+            jnp.asarray(np.stack(images)), jnp.asarray(np.stack(inv_mats)),
+            jnp.ones(B), jnp.zeros(B, bool),
+            jnp.asarray(np.stack([p[0] for p in packed])),
+            jnp.asarray(np.stack([p[1] for p in packed])),
+            jnp.asarray(np.stack([p[2] for p in packed])),
+            jnp.asarray(np.stack([p[3] for p in packed])),
+            jnp.asarray(np.stack([p[4] for p in packed])),
+            self.ecfg, self.dcfg, pose_align=self.pose_align,
+            with_prior=self.with_prior, pred_vis=self.pred_vis,
+            encode=self.is_train,
+        )
+        if not self.is_train:
+            batch["index"] = np.asarray(indices)
+        return batch

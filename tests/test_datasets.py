@@ -88,3 +88,16 @@ def test_mpaug_adv_dataset_batch(data):
     # per-person-augmented composite still yields fg heat + coherent image
     heat = np.asarray(batch["heatmaps"])[:, :, :, :15].max((1, 2, 3))
     assert (heat > 0.9).all()
+
+
+def test_roi_dataset_batch(data):
+    from popnet_tpu.data.datasets import ROIDataset
+
+    ds = ROIDataset(data["img_dir"], data["labels"], ecfg=CFG, seed=5)
+    batch = ds.get_batch([0, 1])
+    assert batch["image"].shape == (2, 224, 224, 1)
+    assert "prior_map" not in batch  # ROI variant trains dense heads only
+    heat = np.asarray(batch["heatmaps"])[:, :, :, :15]
+    assert (heat.max((1, 2, 3)) > 0.9).all()
+    # the crop centers the chosen person: fg heat should cover a wide area
+    assert (heat.max(-1) > 0.5).mean() > 0.02
