@@ -60,3 +60,17 @@ def test_cli_generate_augset(data, tmp_path):
         "--out-dir", out, "--n-images", "3",
     ])
     assert len(os.listdir(os.path.join(out, "depth_maps"))) == 3
+
+
+def test_cli_evaluate_untrained_yolo(data, tmp_path):
+    """The evaluate command runs end to end (random weights -> valid JSON +
+    metrics, however poor)."""
+    root, _ = data
+    out = str(tmp_path / "preds")
+    main([
+        "evaluate", "--data-root", root, "--model", "yolo",
+        "--input-size", "64", "--batch-size", "4", "--out-dir", out,
+    ])
+    res = json.load(open(os.path.join(out, "yolo_results.json")))
+    assert "human_pred_set_2d" in res and "human_gt_set_2d" in res
+    assert len(res["human_pred_set_2d"]) == len(res["human_gt_set_2d"])
