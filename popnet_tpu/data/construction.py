@@ -242,3 +242,55 @@ def convert_raw_bg_recordings(bg_data_files, out_dir: str):
             img_id += 1
     _json.dump(index, open(os.path.join(out_dir, "labels_bg.json"), "w"))
     return index
+
+
+def convert_raw_kdh3d_mp_recordings(depth_data_files, out_dir: str,
+                                    joint_subset=KINECT_JOINT_SUBSET,
+                                    label_name: str = "labels_test.json"):
+    """Raw MULTI-PERSON KDH3D recordings -> per-frame .npy + labels.
+
+    Like convert_raw_kdh3d_recordings but each frame's label file carries
+    per-person lists (3D_joint_positions[i][j]) and 3D is mm -> m; no seg
+    masks or pose weights for real mp test captures
+    (reference: parse_raw_KDH3D_dataset_mp_test.py:57-176,
+    parse_raw_KDH3D_dataset_mp_train.py).
+    """
+    import json as _json
+
+    depth_out = os.path.join(out_dir, "depth_maps")
+    os.makedirs(depth_out, exist_ok=True)
+
+    labels = {}
+    intrinsics = None
+    img_id = 0
+    for depth_file in depth_data_files:
+        stem = depth_file[: depth_file.rfind(".")]
+        annos = _json.load(open(f"{stem}_label.json"))
+        depth_maps = np.load(depth_file).astype(np.float32)
+        if depth_maps.max() > 100:  # raw stacks are mm
+            depth_maps = depth_maps / 1000.0
+        sub = [annos["joint_names"].index(n) for n in joint_subset]
+        intrinsics = annos.get("intrinsics", intrinsics)
+        j3_all = annos["3D_joint_positions"]
+        j2_all = annos["2D_joint_positions"]
+        bb_all = annos["bounding_boxes"]
+        for i in range(depth_maps.shape[0]):
+            name = f"{img_id:08d}.npy"
+            np.save(os.path.join(depth_out, name), depth_maps[i])
+            labels[name] = []
+            for j in range(len(j3_all[i])):
+                j2 = np.asarray(j2_all[i][j], dtype=np.float64)[sub]
+                j3 = np.asarray(j3_all[i][j], dtype=np.float64)[sub] / 1000.0
+                labels[name].append(
+                    {
+                        "2d_joints": j2.tolist(),
+                        "3d_joints": j3.tolist(),
+                        "bbox": list(bb_all[i][j]),
+                    }
+                )
+            img_id += 1
+
+    if intrinsics is not None:
+        labels["intrinsics"] = intrinsics
+    _json.dump(labels, open(os.path.join(out_dir, label_name), "w"))
+    return labels

@@ -140,3 +140,27 @@ def test_convert_raw_kdh3d_recordings(tmp_path):
         [str(tmp_path / "bgrec.npy")], str(tmp_path / "out")
     )
     assert len(idx) == n
+
+
+def test_convert_raw_mp_recordings(tmp_path):
+    rng = np.random.default_rng(5)
+    n, h, w, P = 3, 48, 40, 2
+    kin = list(construction.KINECT_JOINT_SUBSET) + ["NOSE"]
+    depth = rng.uniform(500, 5500, (n, h, w)).astype(np.float32)
+    j3 = rng.normal(0, 300, (n, P, len(kin), 3)) + [0, 0, 3000]
+    j2 = rng.uniform(0, 40, (n, P, len(kin), 2))
+    bb = np.tile([1.0, 1.0, 39.0, 45.0], (n, P, 1))
+    rec = tmp_path / "mp0.npy"
+    np.save(rec, depth)
+    json.dump(
+        {"3D_joint_positions": j3.tolist(), "2D_joint_positions": j2.tolist(),
+         "bounding_boxes": bb.tolist(), "joint_names": kin,
+         "intrinsics": {"fx": 504.1, "fy": 504.0, "cx": 231.7, "cy": 320.6}},
+        open(tmp_path / "mp0_label.json", "w"),
+    )
+    labels = construction.convert_raw_kdh3d_mp_recordings([str(rec)], str(tmp_path / "out"))
+    keys = [k for k in labels if k != "intrinsics"]
+    assert len(keys) == n
+    assert len(labels[keys[0]]) == P
+    assert len(labels[keys[0]][0]["2d_joints"]) == 15
+    assert np.asarray(labels[keys[0]][0]["3d_joints"])[:, 2].max() < 6
