@@ -260,7 +260,10 @@ class KDH3DDataset(_BaseDataset):
                 os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
             ).astype(np.float32)
             fg = np.load(os.path.join(self.seg_dir, image_id)).astype(np.float32)
-            depth = np.asarray(bg_composite(depth, fg, bg))
+            # single-image composite stays on host: one fused multiply-add
+            # beats a per-sample device round trip (the batched device path
+            # is data/compositing.py bg_composite)
+            depth = depth * fg + bg * (1.0 - fg)
         return depth, list(self.anno_dic[image_id])
 
 
@@ -308,12 +311,15 @@ class KDH3DMPAugDataset(_BaseDataset):
         bg = np.load(os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])).astype(
             np.float32
         )
-        P = len(layers)
-        image, _ = mp_composite(
-            jnp.asarray(np.stack(layers)), jnp.asarray(np.stack(masks)),
-            jnp.ones(P, bool), jnp.asarray(bg), far=far,
-        )
-        return np.asarray(image), anns
+        # host z-buffer composite (single sample; the batched device op is
+        # data/compositing.py mp_composite)
+        stack = np.stack(layers)
+        mstack = np.stack(masks)
+        cand = np.where(mstack > 0, stack * mstack, far)
+        zmin = cand.min(axis=0)
+        fg_union = mstack.max(axis=0)
+        image = zmin * fg_union + bg * (1.0 - fg_union)
+        return image.astype(np.float32), anns
 
     def _add_layer(self, ii, index, layers, masks, anns):
         image_id = self.ids_list[ii][index % len(self.ids_list[ii])]
