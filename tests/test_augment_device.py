@@ -85,3 +85,24 @@ def test_rotation_labels_exact_pixels_close():
     # two resamplings (host) vs one (device): small smooth-field deviation
     assert np.mean(np.abs(warped - ref)) < 0.01
     assert np.max(np.abs(warped - ref)) < 0.1
+
+
+def test_label_algebra_many_seeds():
+    """Property sweep: label algebra matches the host pipeline for 25
+    random parameter draws (including flips)."""
+    from popnet_tpu.core.skeleton import SWAP_INDICES
+
+    for seed in range(25):
+        rng = np.random.default_rng(1000 + seed)
+        fracs = rng.uniform(0.01, 0.99, 6)
+        img, j2, j3, bb = scene(seed)
+        rot = -10 + 20 * fracs[0]
+        a = 0.7 + 0.5 * fracs[1]
+        crops = tuple(0.1 * f for f in fracs[2:6])
+        _, ref_lab = run_host(img, j2, j3, bb, rot, a, crops)
+        params = ad.sample_augment_params(FixedRng(fracs), 512, 480)
+        tj2, tj3, tbb = ad.transform_labels(params, j2, j3, bb, list(SWAP_INDICES))
+        for i in range(len(ref_lab)):
+            np.testing.assert_allclose(tj2[i], ref_lab[i]["2d_joints"], atol=2e-3)
+            np.testing.assert_allclose(tj3[i], ref_lab[i]["3d_joints"], atol=1e-4)
+            np.testing.assert_allclose(tbb[i], ref_lab[i]["bbox"], atol=2e-3)

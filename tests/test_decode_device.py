@@ -97,3 +97,17 @@ def test_device_peaks_exact_at_borders():
         dev = dev[np.lexsort((dev[:, 1], dev[:, 0]))]
         hp = host[k][np.lexsort((host[k][:, 1], host[k][:, 0]))]
         np.testing.assert_allclose(dev[:, :3], hp[:, :3], atol=1e-3)
+
+
+def test_device_matches_host_many_seeds():
+    """Property sweep: device decode == host decode over 6 random scenes."""
+    from popnet_tpu.decode.human_list import paf_to_human_list
+
+    for seed in range(6):
+        heat, paf = synth(100 + seed, n_people=1 + seed % 4, B=1)
+        peaks, valid = find_peaks_batched(jnp.asarray(heat))
+        scores, ok = score_limb_pairs_batched(jnp.asarray(paf), peaks, valid)
+        dev_h, _, _ = assemble_batch(peaks, valid, scores, ok)[0]
+        jl, people = paf_np.paf_to_pose(heat[0].astype(np.float64), paf[0].astype(np.float64))
+        host_h, _, _ = paf_to_human_list(jl, people)
+        assert sorted_humans(dev_h) == sorted_humans(host_h), f"seed {seed}"
