@@ -12,26 +12,34 @@ from typing import Any
 
 import orbax.checkpoint as ocp
 
+# one live manager per directory: constructing a CheckpointManager per save
+# leaks its background threads and eventually deadlocks long runs
+_MANAGERS: dict[str, "ocp.CheckpointManager"] = {}
+
+
+def _manager(directory: str, keep: int = 3) -> "ocp.CheckpointManager":
+    directory = os.path.abspath(directory)
+    if directory not in _MANAGERS:
+        _MANAGERS[directory] = ocp.CheckpointManager(
+            directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+        )
+    return _MANAGERS[directory]
+
 
 def save_checkpoint(directory: str, state, step: int, metadata: dict | None = None,
                     keep: int = 3):
-    directory = os.path.abspath(directory)
-    mngr = ocp.CheckpointManager(
-        directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
-    )
+    mngr = _manager(directory, keep)
     payload = {"state": ocp.args.StandardSave(state)}
     if metadata is not None:
         payload["metadata"] = ocp.args.JsonSave(metadata)
     mngr.save(step, args=ocp.args.Composite(**payload))
     mngr.wait_until_finished()
-    mngr.close()
 
 
 def restore_checkpoint(directory: str, abstract_state: Any, step: int | None = None):
     """Restore (state, metadata, step); abstract_state is a same-structure
     pytree (e.g. a freshly created TrainState) used as the restore template."""
-    directory = os.path.abspath(directory)
-    mngr = ocp.CheckpointManager(directory)
+    mngr = _manager(directory)
     if step is None:
         step = mngr.latest_step()
     restored = mngr.restore(
@@ -41,5 +49,4 @@ def restore_checkpoint(directory: str, abstract_state: Any, step: int | None = N
             metadata=ocp.args.JsonRestore(),
         ),
     )
-    mngr.close()
     return restored["state"], restored.get("metadata"), step
