@@ -57,28 +57,82 @@ def build_pipeline(batch: int, dtype=jnp.bfloat16):
     return pipeline
 
 
+def build_openpose_pipeline(batch: int, dtype=jnp.bfloat16):
+    """Open-Pose+ path: preproc + RTPoseLight3D + batched peak NMS/subpixel
+    refine + PAF pair scoring on device; greedy assembly on host (C++)."""
+    from popnet_tpu.core.config import DecodeConfig
+    from popnet_tpu.decode.device import find_peaks_batched, score_limb_pairs_batched
+    from popnet_tpu.models import RTPoseLight3D
+    from popnet_tpu import native
+    from popnet_tpu.core.skeleton import LIMBS
+
+    dcfg = DecodeConfig()
+    model = RTPoseLight3D(dtype=dtype)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1), jnp.float32), train=False
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    @jax.jit
+    def device_part(raw_depth):
+        x = jnp.clip(raw_depth, 0.0, KDH3D_DEPTH.max)
+        x = resize_bilinear_cv2(jnp.transpose(x, (1, 2, 0)), 224, 224)
+        x = jnp.transpose(x, (2, 0, 1))
+        x = (x - KDH3D_DEPTH.mean) / KDH3D_DEPTH.std
+        (paf, heat, z), _ = model.apply(variables, x[..., None], train=False)
+        heat = heat.astype(jnp.float32)
+        paf = paf.astype(jnp.float32)
+        peaks, valid = find_peaks_batched(
+            heat, max_peaks=dcfg.max_peaks, thresh=dcfg.thresh_heatmap
+        )
+        scores, ok = score_limb_pairs_batched(paf, peaks, valid)
+        return peaks, valid, scores, ok, z.astype(jnp.float32)
+
+    assert native.available(), "native assembler required for the bench"
+
+    def pipeline(frames):
+        peaks, valid, scores, ok, _z = device_part(frames)
+        return native.assemble_batch_native(
+            np.asarray(peaks), np.asarray(valid), np.asarray(scores),
+            np.asarray(ok), LIMBS, max_people=dcfg.max_people,
+        )
+
+    return pipeline, device_part
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    mode = os.environ.get("BENCH_MODEL", "popnet")
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
 
-    pipeline = build_pipeline(batch)
-    # warmup / compile
-    jax.block_until_ready(pipeline(frames))
-    jax.block_until_ready(pipeline(frames))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(frames)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    if mode == "openpose":
+        pipeline, device_part = build_openpose_pipeline(batch)
+        pipeline(frames)  # warmup / compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipeline(frames)
+        dt = time.perf_counter() - t0
+        metric = "openpose_e2e_inference"
+    else:
+        pipeline = build_pipeline(batch)
+        # warmup / compile
+        jax.block_until_ready(pipeline(frames))
+        jax.block_until_ready(pipeline(frames))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipeline(frames)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        metric = "popnet_e2e_inference"
 
     fps = batch * iters / dt
     print(
         json.dumps(
             {
-                "metric": "popnet_e2e_inference",
+                "metric": metric,
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
