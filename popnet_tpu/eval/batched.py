@@ -143,3 +143,81 @@ def eval_pck3d_batched(gt2, gt3, gt_valid, pred2, pred3, pred_valid,
         jnp.sum(matched, (0, 1)), 1)
     hits = jnp.sum(matched & (d < dist_th), (0, 1))
     return np.asarray(avg), np.asarray(hits / total)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh",))
+def assign_gt_multi_batched(pred2, pred_conf, pred_valid, gt2, gt_vis, gt_valid,
+                            ref_dist, thresh=0.5):
+    """Batched assignGTmulti (reference: util/eval_mAP.py:60-157).
+
+    pred2 (N, Pp, K, C), pred_conf (N, Pp, K), gt2 (N, Pg, K, C),
+    gt_vis (N, Pg, K), ref_dist (N, Pg). Returns
+    (scores (N, Pp, K), labels (N, Pp, K), has_pred (N, Pp, K), n_gt (N, K)).
+    Host code flattens valid entries per joint and runs getRPC/VOCap.
+    """
+    has_pred = jnp.broadcast_to(pred_valid[..., None], pred_conf.shape)
+    has_gt = gt_vis * gt_valid[..., None]  # (N, Pg, K)
+
+    d = jnp.sqrt(jnp.sum(
+        (pred2[:, :, None] - gt2[:, None, :]) ** 2, axis=-1))  # (N, Pp, Pg, K)
+    d = d / ref_dist[:, None, :, None]
+    usable = has_pred[:, :, None] * has_gt[:, None]  # (N, Pp, Pg, K)
+    d = jnp.where(usable > 0, d, jnp.inf)
+
+    match = (d <= thresh).astype(jnp.int32)  # (N, Pp, Pg, K)
+    n_gt_per = jnp.sum(has_gt, axis=-1)  # (N, Pg)
+    pck = jnp.sum(match, axis=-1) / jnp.maximum(n_gt_per[:, None, :], 1)  # (N, Pp, Pg)
+    pck = jnp.where(gt_valid[:, None, :], pck, -jnp.inf)
+    pck = jnp.where(pred_valid[..., None], pck, -jnp.inf)
+
+    # keep each prediction's best GT only, then invert: GT -> best pred
+    best_gt = jnp.argmax(pck, axis=-1)  # (N, Pp)
+    Pg = gt2.shape[1]
+    only_best = jnp.where(
+        jax.nn.one_hot(best_gt, Pg, dtype=bool), pck, -jnp.inf
+    )  # zero-out non-best (reference sets them 0; -inf works since we max)
+    only_best = jnp.where(only_best == -jnp.inf, 0.0, only_best)
+    val = jnp.max(only_best, axis=1)  # (N, Pg)
+    pred_to_gt = jnp.argmax(only_best, axis=1)  # (N, Pg)
+    pred_to_gt = jnp.where(val == 0, -1, pred_to_gt)
+
+    # pred p is assigned to the first gt g with pred_to_gt[g] == p
+    Pp = pred2.shape[1]
+    assign = pred_to_gt[:, None, :] == jnp.arange(Pp)[None, :, None]  # (N, Pp, Pg)
+    is_assigned = jnp.any(assign, axis=-1)
+    first_gt = jnp.argmax(assign, axis=-1)  # (N, Pp)
+
+    matched_labels = jnp.take_along_axis(
+        match, first_gt[:, :, None, None], axis=2
+    )[:, :, 0, :]  # (N, Pp, K)
+    labels = jnp.where(is_assigned[..., None], matched_labels, 0)
+    labels = labels * has_pred.astype(jnp.int32)
+
+    n_gt = jnp.sum(has_gt, axis=1)  # (N, K)
+    return pred_conf * has_pred, labels, has_pred, n_gt
+
+
+def eval_ap_batched(pred2, pred_conf, pred_valid, gt2, gt_vis, gt_valid, ref_dist,
+                    thresh=0.5):
+    """Full batched mAP: device assignment + host RPC/VOCap.
+    Returns (K+1,) APs like eval_ap_mpii_v2 (reference: eval_mAP.py:272-332)."""
+    from popnet_tpu.eval.map import get_rpc, voc_ap
+
+    scores, labels, has_pred, n_gt = assign_gt_multi_batched(
+        jnp.asarray(pred2), jnp.asarray(pred_conf), jnp.asarray(pred_valid),
+        jnp.asarray(gt2), jnp.asarray(gt_vis), jnp.asarray(gt_valid),
+        jnp.asarray(ref_dist), thresh,
+    )
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    has_pred = np.asarray(has_pred) > 0
+    n_gt = np.asarray(n_gt)
+
+    K = scores.shape[-1]
+    ap = np.zeros(K + 1)
+    for k in range(K):
+        sel = has_pred[..., k]
+        p, r = get_rpc(scores[..., k][sel], labels[..., k][sel], n_gt[:, k].sum())
+        ap[k] = voc_ap(r, p) * 100
+    ap[-1] = ap[:-1].mean()
+    return ap
