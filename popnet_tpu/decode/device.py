@@ -84,19 +84,22 @@ def find_peaks_batched(
     py = top_idx // W
     px = top_idx % W
 
-    # 5x5 patch, border-clamped
+    # 5x5 patch, border-replicated — fetched as one vmapped dynamic_slice
+    # per peak (TPU lowers slice-gathers far better than scalar gathers)
     size = 2 * win_size + 1
-    offs = jnp.arange(-win_size, win_size + 1)
-    gx = jnp.clip(px[..., None, None] + offs[None, :], 0, W - 1)        # (B,K,M,1,5)
-    gy = jnp.clip(py[..., None, None] + offs[:, None], 0, H - 1)        # (B,K,M,5,1)
     hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
-    kk = jnp.arange(num_joints)[None, :, None, None, None]
-    patch = hK[
-        jnp.arange(B)[:, None, None, None, None],
-        jnp.broadcast_to(kk, (B, num_joints, max_peaks, size, size)),
-        jnp.broadcast_to(gy, (B, num_joints, max_peaks, size, size)),
-        jnp.broadcast_to(gx, (B, num_joints, max_peaks, size, size)),
-    ]  # (B, K, M, 5, 5)
+    hpad = jnp.pad(
+        hK, ((0, 0), (0, 0), (win_size, win_size), (win_size, win_size)), mode="edge"
+    )
+
+    def patch_bk(plane, px_m, py_m):  # plane (H+2w, W+2w); px_m/py_m (M,)
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (size, size))
+        )(py_m, px_m)
+
+    patch = jax.vmap(jax.vmap(patch_bk))(
+        hpad.reshape(B, num_joints, H + 2 * win_size, W + 2 * win_size), px, py
+    )  # (B, K, M, 5, 5); padded start == original top-left clamped by padding
 
     U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (40, 5)
     up = jnp.einsum("ai,bkmij,cj->bkmac", U, patch, U)  # (B, K, M, 40, 40)
@@ -131,36 +134,6 @@ def find_peaks_batched(
 
     peaks = jnp.stack([out_x, out_y, peak_score], axis=-1)
     return peaks, valid
-
-
-def _bicubic_sample(field: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Evaluate cv2-style bicubic interpolation of (H, W) `field` at
-    continuous (x, y), border-replicated."""
-    H, W = field.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-
-    def w(t, a=-0.75):
-        t = jnp.abs(t)
-        return jnp.where(
-            t <= 1,
-            (a + 2) * t**3 - (a + 3) * t**2 + 1,
-            jnp.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
-        )
-
-    acc = 0.0
-    for dy in range(-1, 3):
-        wy = w(fy - dy)
-        yi = jnp.clip(y0.astype(jnp.int32) + dy, 0, H - 1)
-        row = 0.0
-        for dx in range(-1, 3):
-            wx = w(fx - dx)
-            xi = jnp.clip(x0.astype(jnp.int32) + dx, 0, W - 1)
-            row = row + wx * field[yi, xi]
-        acc = acc + wy * row
-    return acc
 
 
 @functools.partial(
@@ -205,14 +178,44 @@ def score_limb_pairs_batched(
     lx = (pxi + 0.5) / factor - 0.5
     ly = (pyi + 0.5) / factor - 0.5
 
+    # bicubic via one dynamic-slice (2, 4, 4) patch per sample point: with a
+    # 2-wide edge pad, the slice exactly reproduces cv2's border-replicated
+    # 4x4 tap window, and the cubic weights contract on the VPU
     paf_l = pafs.transpose(0, 3, 1, 2).reshape(B, L, 2, H, W)
+    pafp = jnp.pad(paf_l, ((0, 0), (0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
 
-    def per_bl(paf_xy, lx_bl, ly_bl):
-        sx = _bicubic_sample(paf_xy[0], lx_bl, ly_bl)
-        sy = _bicubic_sample(paf_xy[1], lx_bl, ly_bl)
-        return sx, sy
+    x0 = jnp.floor(lx)
+    y0 = jnp.floor(ly)
+    fx = lx - x0
+    fy = ly - y0
+    sxi = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)  # padded start of x0-1
+    syi = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
 
-    sx, sy = jax.vmap(jax.vmap(per_bl))(paf_l, lx, ly)  # (B, L, Ms, Md, T)
+    M_, T_ = pts.shape[2], num_intermed_pts
+    npts = M_ * M_ * T_
+
+    def per_bl(paf_xy, sx_bl, sy_bl):  # paf_xy (2, H+4, W+4)
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(paf_xy, (0, y, x), (2, 4, 4))
+        )(sy_bl.reshape(npts), sx_bl.reshape(npts))  # (npts, 2, 4, 4)
+
+    patches = jax.vmap(jax.vmap(per_bl))(pafp, sxi, syi)  # (B, L, npts, 2, 4, 4)
+
+    def cubic_w(t, a=-0.75):
+        # weights for taps at offsets -1, 0, 1, 2 from floor
+        offs = jnp.arange(-1.0, 3.0)
+        tt = jnp.abs(t[..., None] - offs)
+        return jnp.where(
+            tt <= 1,
+            (a + 2) * tt**3 - (a + 3) * tt**2 + 1,
+            jnp.where(tt < 2, a * tt**3 - 5 * a * tt**2 + 8 * a * tt - 4 * a, 0.0),
+        )
+
+    wx = cubic_w(fx).reshape(B, L, npts, 4)
+    wy = cubic_w(fy).reshape(B, L, npts, 4)
+    vals = jnp.einsum("blncij,blni,blnj->blnc", patches, wy, wx)
+    sx = vals[..., 0].reshape(B, L, M_, M_, T_)
+    sy = vals[..., 1].reshape(B, L, M_, M_, T_)
 
     proj = sx * u[..., None, 0] + sy * u[..., None, 1]  # (B, L, Ms, Md, T)
     mean_score = jnp.mean(proj, axis=-1)
