@@ -72,6 +72,9 @@ def main():
         PopNet(), make_popnet_train_step(), make_eval_loss,
         learning_rate=args.lr, out_dir=args.out, print_freq=5,
     )
+    # train loss is noisy on tiny synthetic sets; don't let the plateau
+    # controller starve the lr (it reacts to val loss in real runs)
+    trainer.scheduler.patience = 10**9
     t0 = time.time()
     trainer.fit(train_ds, None, epochs=args.epochs, batch_size=args.batch_size)
     train_time = time.time() - t0
