@@ -79,30 +79,43 @@ def find_peaks_batched(
     score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
         B, num_joints, H * W
     )
-    top_score, top_idx = jax.lax.top_k(score_flat, max_peaks)  # (B, K, M)
+    # top-K by iterative argmax: K sequential VPU reductions beat a full
+    # per-row sort on TPU and keep exact semantics
+    def select(carry, _):
+        s = carry
+        idx = jnp.argmax(s, axis=-1)  # (B, K)
+        val = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        s = jnp.where(
+            jax.nn.one_hot(idx, H * W, dtype=bool), -jnp.inf, s
+        )
+        return s, (val, idx)
+
+    _, (top_score, top_idx) = jax.lax.scan(
+        select, score_flat, None, length=max_peaks
+    )
+    top_score = jnp.moveaxis(top_score, 0, -1)  # (B, K, M)
+    top_idx = jnp.moveaxis(top_idx, 0, -1)
     valid = jnp.isfinite(top_score)
     py = top_idx // W
     px = top_idx % W
 
-    # 5x5 patch, border-replicated — fetched as one vmapped dynamic_slice
-    # per peak (TPU lowers slice-gathers far better than scalar gathers)
+    # 5x5 border-replicated patch upsample, gather-free: per-peak one-hot
+    # row/col selectors fold into the U interpolation matrices, so the whole
+    # refinement is three small matmuls per peak on the MXU
     size = 2 * win_size + 1
     hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
     hpad = jnp.pad(
         hK, ((0, 0), (0, 0), (win_size, win_size), (win_size, win_size)), mode="edge"
     )
+    Hp, Wp = H + 2 * win_size, W + 2 * win_size
 
-    def patch_bk(plane, px_m, py_m):  # plane (H+2w, W+2w); px_m/py_m (M,)
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (size, size))
-        )(py_m, px_m)
-
-    patch = jax.vmap(jax.vmap(patch_bk))(
-        hpad.reshape(B, num_joints, H + 2 * win_size, W + 2 * win_size), px, py
-    )  # (B, K, M, 5, 5); padded start == original top-left clamped by padding
-
-    U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (40, 5)
-    up = jnp.einsum("ai,bkmij,cj->bkmac", U, patch, U)  # (B, K, M, 40, 40)
+    U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (S, 5)
+    offs = jnp.arange(size)
+    rowsel = jax.nn.one_hot(py[..., None] + offs, Hp, dtype=heat.dtype)  # (B,K,M,5,Hp)
+    colsel = jax.nn.one_hot(px[..., None] + offs, Wp, dtype=heat.dtype)  # (B,K,M,5,Wp)
+    UA = jnp.einsum("si,bkmih->bkmsh", U, rowsel)  # (B,K,M,S,Hp)
+    UB = jnp.einsum("si,bkmiw->bkmsw", U, colsel)  # (B,K,M,S,Wp)
+    up = jnp.einsum("bkmsh,bkhw,bkmtw->bkmst", UA, hpad, UB)  # (B,K,M,S,S)
     S = size * factor
 
     # restrict the argmax to the window the reference's shrunken border
@@ -178,28 +191,21 @@ def score_limb_pairs_batched(
     lx = (pxi + 0.5) / factor - 0.5
     ly = (pyi + 0.5) / factor - 0.5
 
-    # bicubic via one dynamic-slice (2, 4, 4) patch per sample point: with a
-    # 2-wide edge pad, the slice exactly reproduces cv2's border-replicated
-    # 4x4 tap window, and the cubic weights contract on the VPU
+    # bicubic sampling, gather-free: the 4 cubic taps per axis scatter into
+    # dense one-hot selector rows, so the whole evaluation is two matmuls
+    # per (batch, limb) plane on the MXU — no gathers at all. The 2-wide
+    # edge pad reproduces cv2's border replication exactly.
     paf_l = pafs.transpose(0, 3, 1, 2).reshape(B, L, 2, H, W)
     pafp = jnp.pad(paf_l, ((0, 0), (0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
+    Hp, Wp = H + 4, W + 4
 
     x0 = jnp.floor(lx)
     y0 = jnp.floor(ly)
     fx = lx - x0
     fy = ly - y0
-    sxi = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)  # padded start of x0-1
-    syi = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
 
     M_, T_ = pts.shape[2], num_intermed_pts
     npts = M_ * M_ * T_
-
-    def per_bl(paf_xy, sx_bl, sy_bl):  # paf_xy (2, H+4, W+4)
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(paf_xy, (0, y, x), (2, 4, 4))
-        )(sy_bl.reshape(npts), sx_bl.reshape(npts))  # (npts, 2, 4, 4)
-
-    patches = jax.vmap(jax.vmap(per_bl))(pafp, sxi, syi)  # (B, L, npts, 2, 4, 4)
 
     def cubic_w(t, a=-0.75):
         # weights for taps at offsets -1, 0, 1, 2 from floor
@@ -211,9 +217,17 @@ def score_limb_pairs_batched(
             jnp.where(tt < 2, a * tt**3 - 5 * a * tt**2 + 8 * a * tt - 4 * a, 0.0),
         )
 
-    wx = cubic_w(fx).reshape(B, L, npts, 4)
+    wx = cubic_w(fx).reshape(B, L, npts, 4)  # (B, L, N, 4)
     wy = cubic_w(fy).reshape(B, L, npts, 4)
-    vals = jnp.einsum("blncij,blni,blnj->blnc", patches, wy, wx)
+    # padded tap columns: x0 - 1 + j + 2 for j in 0..3
+    tap = jnp.arange(4)
+    xi = x0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap  # (B,L,N,4)
+    yi = y0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap
+    R = jnp.sum(jax.nn.one_hot(xi, Wp, dtype=pafs.dtype) * wx[..., None], axis=-2)
+    C = jnp.sum(jax.nn.one_hot(yi, Hp, dtype=pafs.dtype) * wy[..., None], axis=-2)
+    # Q[b,l,c,y,n] = sum_x paf[b,l,c,y,x] * R[b,l,n,x]
+    Q = jnp.einsum("blcyx,blnx->blcyn", pafp, R)
+    vals = jnp.einsum("blcyn,blny->blnc", Q, C)  # (B, L, N, 2)
     sx = vals[..., 0].reshape(B, L, M_, M_, T_)
     sy = vals[..., 1].reshape(B, L, M_, M_, T_)
 
