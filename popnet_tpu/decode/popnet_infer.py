@@ -81,33 +81,39 @@ def popnet_decode(
     cx = jnp.clip(jnp.floor(gx), 0, Wg - 1).astype(jnp.int32)
     cy = jnp.clip(jnp.floor(gy), 0, Hg - 1).astype(jnp.int32)
 
-    def per_image(heat_i, zmap_i, align_i, cx_i, cy_i):
-        # (M, K, win) windows per joint channel
-        dxo, dyo = _window_offsets(r)
-        gxw = jnp.clip(cx_i[..., None] + dxo, 0, Wg - 1)  # (M, K, win)
-        gyw = jnp.clip(cy_i[..., None] + dyo, 0, Hg - 1)
-        kk = jnp.arange(K)[None, :, None]
-        hwin = jnp.maximum(heat_i[gyw, gxw, jnp.broadcast_to(kk, gxw.shape)], 0.0) + 1e-9
-        zwin = zmap_i[gyw, gxw, jnp.broadcast_to(kk, gxw.shape)]
-        axwin = align_i[gyw, gxw, jnp.broadcast_to(2 * kk, gxw.shape)]
-        aywin = align_i[gyw, gxw, jnp.broadcast_to(2 * kk + 1, gxw.shape)]
-        wsum = jnp.sum(hwin, axis=-1)
-        # candidate centers voted by each window cell (align-grid units)
-        cand_x = gxw + 0.5 + axwin * span
-        cand_y = gyw + 0.5 + aywin * span
-        ref_x = jnp.sum(cand_x * hwin, axis=-1) / wsum  # (M, K)
-        ref_y = jnp.sum(cand_y * hwin, axis=-1) / wsum
-        z = jnp.sum(zwin * hwin, axis=-1) / wsum
-        return ref_x, ref_y, z
+    # window readout, gather-free: per-joint one-hot row/col selectors make
+    # every (2r+1)^2 window read a tiny einsum on the VPU/MXU
+    dxo, dyo = _window_offsets(r)
+    gxw = jnp.clip(cx[..., None] + dxo, 0, Wg - 1)  # (B, M, K, win)
+    gyw = jnp.clip(cy[..., None] + dyo, 0, Hg - 1)
+    rowsel = jax.nn.one_hot(gyw, Hg, dtype=heat.dtype)  # (B, M, K, win, Hg)
+    colsel = jax.nn.one_hot(gxw, Wg, dtype=heat.dtype)  # (B, M, K, win, Wg)
+    align2 = align.reshape(align.shape[0], Hg, Wg, K, 2)
 
-    ref_x, ref_y, z_norm = jax.vmap(per_image)(heat, zmap, align, cx, cy)
+    def window(field):  # field (B, Hg, Wg, K) -> (B, M, K, win)
+        return jnp.einsum("byxk,bmkiy,bmkix->bmki", field, rowsel, colsel)
+
+    hwin = jnp.maximum(window(heat[..., :K]), 0.0) + 1e-9
+    zwin = window(zmap)
+    axwin = window(align2[..., 0])
+    aywin = window(align2[..., 1])
+    wsum = jnp.sum(hwin, axis=-1)
+    # candidate centers voted by each window cell (align-grid units)
+    cand_x = gxw + 0.5 + axwin * span
+    cand_y = gyw + 0.5 + aywin * span
+    ref_x = jnp.sum(cand_x * hwin, axis=-1) / wsum  # (B, M, K)
+    ref_y = jnp.sum(cand_y * hwin, axis=-1) / wsum
+    z_norm = jnp.sum(zwin * hwin, axis=-1) / wsum
     z = z_norm * depth.std + depth.mean
 
     # alignment confidence: where local heat evidence is weak, keep the
     # prior subnet's direct prediction
-    heat_at = jax.vmap(
-        lambda h, yy_, xx_, kk_: h[yy_, xx_, kk_]
-    )(heat, cy, cx, jnp.broadcast_to(jnp.arange(K)[None, None, :], cx.shape))
+    heat_at = jnp.einsum(
+        "byxk,bmky,bmkx->bmk",
+        heat[..., :K],
+        jax.nn.one_hot(cy, Hg, dtype=heat.dtype),
+        jax.nn.one_hot(cx, Wg, dtype=heat.dtype),
+    )
     use_align = heat_at > dcfg.thresh_heatmap
     out_x = jnp.where(use_align, ref_x / Wg, jx) * w_out
     out_y = jnp.where(use_align, ref_y / Hg, jy) * h_out
