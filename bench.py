@@ -57,14 +57,12 @@ def build_pipeline(batch: int, dtype=jnp.bfloat16):
     return pipeline
 
 
-def build_openpose_pipeline(batch: int, dtype=jnp.bfloat16):
+def build_openpose_pipeline(dtype=jnp.bfloat16):
     """Open-Pose+ path: preproc + RTPoseLight3D + batched peak NMS/subpixel
     refine + PAF pair scoring on device; greedy assembly on host (C++)."""
-    from popnet_tpu.core.config import DecodeConfig
     from popnet_tpu.decode.device import find_peaks_batched, score_limb_pairs_batched
     from popnet_tpu.models import RTPoseLight3D
     from popnet_tpu import native
-    from popnet_tpu.core.skeleton import LIMBS
 
     dcfg = DecodeConfig()
     model = RTPoseLight3D(dtype=dtype)
@@ -116,7 +114,7 @@ def main():
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
 
     if mode == "openpose":
-        pipeline, device_part = build_openpose_pipeline(batch)
+        pipeline, device_part = build_openpose_pipeline()
         pipeline(frames)  # warmup / compile (assembly materializes outputs)
         # double-buffer: dispatch batch i+1 before draining batch i so the
         # host fetch + C++ assembly overlap device compute

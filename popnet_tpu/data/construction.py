@@ -173,7 +173,7 @@ def convert_raw_kdh3d_recordings(
     seg_out = os.path.join(out_dir, "seg_maps")
     os.makedirs(depth_out, exist_ok=True)
     os.makedirs(seg_out, exist_ok=True)
-    train_files = set(train_files or depth_data_files)
+    train_files = set(train_files) if train_files is not None else set(depth_data_files)
 
     # pass 1: gather all 3D poses for the rarity statistics
     all_poses = []

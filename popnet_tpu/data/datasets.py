@@ -195,12 +195,12 @@ class _BaseDataset:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        stop = threading.Event()
+        abandoned = threading.Event()
         err = []
 
         def _put(item) -> bool:
             # bounded put that notices consumer abandonment (GeneratorExit)
-            while not stop.is_set():
+            while not abandoned.is_set():
                 try:
                     q.put(item, timeout=0.2)
                     return True
@@ -211,7 +211,7 @@ class _BaseDataset:
         def producer():
             try:
                 for s in starts:
-                    if stop.is_set():
+                    if abandoned.is_set():
                         return
                     if not _put(self.get_batch(order[s : s + batch_size])):
                         return
@@ -229,7 +229,7 @@ class _BaseDataset:
                     break
                 yield item
         finally:
-            stop.set()
+            abandoned.set()
             t.join(timeout=5.0)
         if err:
             raise err[0]
@@ -276,11 +276,11 @@ class KDH3DMPAugDataset(_BaseDataset):
                  keep_prob=0.8, dataset_len=None, **kw):
         import json
 
-        first = ann_files[0]
-        super().__init__(img_dir, first, **kw)
-        self.anno_dic_list = []
-        self.ids_list = []
-        for f in ann_files:
+        super().__init__(img_dir, ann_files[0], **kw)
+        # the base class already parsed ann_files[0]; reuse it
+        self.anno_dic_list = [self.anno_dic]
+        self.ids_list = [list(self.anno_dic.keys())]
+        for f in ann_files[1:]:
             dic, _ = load_label_file(f)
             self.anno_dic_list.append(dic)
             self.ids_list.append(list(dic.keys()))

@@ -33,17 +33,6 @@ def _window_offsets(radius: int):
     return dx.reshape(-1), dy.reshape(-1)
 
 
-def _gather_window(field: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, radius: int):
-    """Gather clamped (2r+1)^2 windows. field (H, W, C) or (H, W); cx/cy any
-    shape of integer cell coords. Returns (..., win, [C]) plus the window's
-    absolute (x, y) coords."""
-    H, W = field.shape[0], field.shape[1]
-    dx, dy = _window_offsets(radius)
-    gx = jnp.clip(cx[..., None] + dx, 0, W - 1)
-    gy = jnp.clip(cy[..., None] + dy, 0, H - 1)
-    return field[gy, gx], gx, gy
-
-
 @functools.partial(jax.jit, static_argnames=("ecfg", "dcfg", "depth", "cam"))
 def popnet_decode(
     heat: jnp.ndarray,    # (B, Hg, Wg, K+1)

@@ -106,10 +106,17 @@ def eval_pck2d_batched(gt2, gt_valid, pred2, pred_valid, dist_th=10.0, iou_th=0.
     d = jnp.where(jnp.asarray(gt_valid)[..., None], d, -1.0)
     matched = d >= 0
     total = jnp.sum(jnp.asarray(gt_valid))
-    avg = jnp.sum(jnp.where(matched, d, 0.0), (0, 1)) / jnp.maximum(
-        jnp.sum(matched, (0, 1)), 1)
+    avg = _avg_matched(d, matched)
     hits = jnp.sum(matched & (d < dist_th), (0, 1))
     return np.asarray(avg), np.asarray(hits / total)
+
+
+def _avg_matched(d, matched):
+    """Per-joint mean over matched distances; NaN when a joint has no
+    matches, like the NumPy reference's np.mean of an empty slice."""
+    n = jnp.sum(matched, (0, 1))
+    avg = jnp.sum(jnp.where(matched, d, 0.0), (0, 1)) / jnp.maximum(n, 1)
+    return jnp.where(n > 0, avg, jnp.nan)
 
 
 def eval_pckh2d_batched(gt2, gt_valid, pred2, pred_valid, head_id=0, neck_id=1,
@@ -123,8 +130,7 @@ def eval_pckh2d_batched(gt2, gt_valid, pred2, pred_valid, head_id=0, neck_id=1,
     hsz = 2.0 * jnp.sqrt(jnp.sum((gt2[:, :, head_id] - gt2[:, :, neck_id]) ** 2, -1))
     matched = d >= 0
     total = jnp.sum(gv)
-    avg = jnp.sum(jnp.where(matched, d, 0.0), (0, 1)) / jnp.maximum(
-        jnp.sum(matched, (0, 1)), 1)
+    avg = _avg_matched(d, matched)
     hits = jnp.sum(matched & (d < (hsz * h_th)[..., None]), (0, 1))
     return np.asarray(avg), np.asarray(hits / total)
 
@@ -139,8 +145,7 @@ def eval_pck3d_batched(gt2, gt3, gt_valid, pred2, pred3, pred_valid,
     d = jnp.where(gv[..., None], d, -1.0)
     matched = d >= 0
     total = jnp.sum(gv)
-    avg = jnp.sum(jnp.where(matched, d, 0.0), (0, 1)) / jnp.maximum(
-        jnp.sum(matched, (0, 1)), 1)
+    avg = _avg_matched(d, matched)
     hits = jnp.sum(matched & (d < dist_th), (0, 1))
     return np.asarray(avg), np.asarray(hits / total)
 

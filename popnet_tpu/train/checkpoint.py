@@ -29,9 +29,11 @@ def _manager(directory: str, keep: int = 3) -> "ocp.CheckpointManager":
 def save_checkpoint(directory: str, state, step: int, metadata: dict | None = None,
                     keep: int = 3):
     mngr = _manager(directory, keep)
-    payload = {"state": ocp.args.StandardSave(state)}
-    if metadata is not None:
-        payload["metadata"] = ocp.args.JsonSave(metadata)
+    payload = {
+        "state": ocp.args.StandardSave(state),
+        # always present so restore never has to guess the checkpoint shape
+        "metadata": ocp.args.JsonSave(metadata if metadata is not None else {}),
+    }
     mngr.save(step, args=ocp.args.Composite(**payload))
     mngr.wait_until_finished()
 

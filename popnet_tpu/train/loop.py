@@ -144,26 +144,42 @@ class Trainer:
             with open(os.path.join(self.out_dir, "history.jsonl"), "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
+            meta = {
+                "val_loss": val_loss,
+                "epoch": self.epoch,
+                "lr": new_lr,
+                "scheduler_best": self.scheduler.best,
+                "best_val": min(self.best_val, val_loss),
+            }
             if val_loss < self.best_val:
                 self.best_val = val_loss
+                # best-val weights live in their own directory so periodic
+                # checkpoints can never evict them (max_to_keep)
                 ckpt.save_checkpoint(
-                    os.path.join(self.out_dir, "ckpt"), self.state,
-                    step=self.epoch, metadata={"val_loss": val_loss, "epoch": self.epoch},
+                    os.path.join(self.out_dir, "ckpt_best"), self.state,
+                    step=self.epoch, metadata=meta, keep=1,
                 )
-            elif checkpoint_every and self.epoch % checkpoint_every == 0:
-                ckpt.save_checkpoint(
-                    os.path.join(self.out_dir, "ckpt"), self.state,
-                    step=self.epoch, metadata={"val_loss": val_loss, "epoch": self.epoch},
-                )
+            ckpt.save_checkpoint(
+                os.path.join(self.out_dir, "ckpt"), self.state,
+                step=self.epoch, metadata=meta,
+            )
             self.epoch += 1
         return self.history
 
-    def resume(self):
-        """Resume from the latest checkpoint in out_dir (full train state)."""
+    def resume(self, best: bool = False):
+        """Resume from the latest (or best-val) checkpoint, restoring the
+        full train state AND the plateau-scheduler state so the reduced
+        learning rate survives restarts."""
+        d = "ckpt_best" if best else "ckpt"
         state, meta, step = ckpt.restore_checkpoint(
-            os.path.join(self.out_dir, "ckpt"), self.state
+            os.path.join(self.out_dir, d), self.state
         )
         self.state = state
-        self.epoch = (meta or {}).get("epoch", step) + 1
-        self.best_val = (meta or {}).get("val_loss", float("inf"))
+        meta = meta or {}
+        self.epoch = meta.get("epoch", step) + 1
+        self.best_val = meta.get("best_val", meta.get("val_loss", float("inf")))
+        if "lr" in meta:
+            self.scheduler.lr = meta["lr"]
+            self.scheduler.best = meta.get("scheduler_best")
+            self.state = set_learning_rate(self.state, meta["lr"])
         return self
