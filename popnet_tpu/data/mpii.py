@@ -105,3 +105,91 @@ def bbox_from_visible_joints(ann, margin: float = 25.0):
         float(jv[:, 0].min() - margin), float(jv[:, 1].min() - margin),
         float(jv[:, 0].max() + margin), float(jv[:, 1].max() + margin),
     ]
+
+
+def _unwrap(a):
+    """Peel size-1 object-array wrappers (loadmat nesting varies)."""
+    import numpy as _np
+
+    while isinstance(a, _np.ndarray) and a.dtype == object and a.size == 1:
+        a = a.reshape(-1)[0]
+    return a
+
+
+def _cells(a):
+    """Iterate the entries of a matlab cell/struct array."""
+    import numpy as _np
+
+    a = _unwrap(a) if isinstance(a, _np.ndarray) and a.dtype == object and a.size == 1 else a
+    if isinstance(a, _np.ndarray):
+        return [x for x in a.reshape(-1)]
+    return [a]
+
+
+def _scalar(a):
+    a = _unwrap(a)
+    import numpy as _np
+
+    if isinstance(a, _np.ndarray):
+        return a.reshape(-1)[0]
+    return a
+
+
+def prepare_mpii_labels_from_mat(mat_path: str, train_only: bool = True):
+    """Official MPII RELEASE .mat -> per-image label dict with head rects.
+
+    Walks RELEASE.annolist / img_train, collecting per-person joint
+    positions (id-indexed, 16 joints), visibility flags, and the MPII head
+    rectangle (reference: parse_mpii_dataset_from_mat.py:62-113). Robust to
+    loadmat's varying object-array nesting.
+    """
+    import scipy.io as sio
+
+    mat = sio.loadmat(mat_path)
+    release = _unwrap(mat["RELEASE"])
+    annolist = _cells(release["annolist"])
+    img_train = np.asarray(_unwrap(release["img_train"])).reshape(-1)
+    out: dict[str, list] = {}
+    for anno, train_flag in zip(annolist, img_train):
+        if train_only and not int(train_flag):
+            continue
+        anno = _unwrap(anno)
+        image = _unwrap(anno["image"])
+        img_fn = str(_scalar(image["name"]))
+        rects_arr = anno["annorect"]
+        if "annopoints" not in str(getattr(_unwrap(rects_arr), "dtype", "")):
+            continue
+        for rect in _cells(rects_arr):
+            rect = _unwrap(rect)
+            try:
+                head_rect = [float(_scalar(rect["x1"])), float(_scalar(rect["y1"])),
+                             float(_scalar(rect["x2"])), float(_scalar(rect["y2"]))]
+                pts = _unwrap(_unwrap(rect["annopoints"])["point"])
+            except (ValueError, IndexError, KeyError, TypeError):
+                continue
+            if getattr(pts, "size", 0) == 0:
+                continue
+            j_ids = [int(_scalar(v)) for v in _cells(pts["id"])]
+            xs = [float(_scalar(v)) for v in _cells(pts["x"])]
+            ys = [float(_scalar(v)) for v in _cells(pts["y"])]
+            if "is_visible" in str(pts.dtype):
+                vis_raw = []
+                for v in _cells(pts["is_visible"]):
+                    v = _unwrap(v)
+                    vis_raw.append(int(_scalar(v)) if getattr(v, "size", 1) else 0)
+            else:
+                continue
+            joints = np.full((MPII_NUM_JOINTS, 2), -1.0)
+            vis = np.zeros(MPII_NUM_JOINTS, dtype=int)
+            for j_id, x, y, v in zip(j_ids, xs, ys, vis_raw):
+                if 0 <= j_id < MPII_NUM_JOINTS:
+                    joints[j_id] = (x, y)
+                    vis[j_id] = v
+            out.setdefault(img_fn, []).append(
+                {
+                    "2d_joints": joints.tolist(),
+                    "visible_joints": vis.tolist(),
+                    "head_rect": head_rect,
+                }
+            )
+    return out

@@ -65,3 +65,56 @@ def test_popnet_rgb_loss_runs_and_grads():
     )
     assert np.isfinite(float(loss))
     assert {"loss_prior", "loss_bbox", "loss_obj", "loss_selfpose"} <= set(logs)
+
+
+def test_prepare_mpii_labels_from_mat(tmp_path):
+    """Synthetic RELEASE .mat with the official nesting round-trips."""
+    sio = __import__("scipy.io", fromlist=["io"])
+
+    def cell(arr_list):
+        c = np.empty((1, len(arr_list)), dtype=object)
+        for i, a in enumerate(arr_list):
+            c[0, i] = a
+        return c
+
+    n_j = 3
+    point = np.zeros((1, 1), dtype=[("id", "O"), ("x", "O"), ("y", "O"), ("is_visible", "O")])
+    point[0, 0]["id"] = cell([np.array([[j]]) for j in range(n_j)])
+    point[0, 0]["x"] = cell([np.array([[10.0 * j]]) for j in range(n_j)])
+    point[0, 0]["y"] = cell([np.array([[20.0 * j]]) for j in range(n_j)])
+    point[0, 0]["is_visible"] = cell([np.array([["1"]]) for _ in range(n_j)])
+
+    annopoint = np.zeros((1, 1), dtype=[("point", "O")])
+    annopoint[0, 0]["point"] = point
+
+    annorect = np.zeros((1, 1), dtype=[
+        ("annopoints", "O"), ("x1", "O"), ("y1", "O"), ("x2", "O"), ("y2", "O")
+    ])
+    annorect[0, 0]["annopoints"] = annopoint[0, 0]
+    annorect[0, 0]["x1"] = np.array([[5.0]])
+    annorect[0, 0]["y1"] = np.array([[6.0]])
+    annorect[0, 0]["x2"] = np.array([[50.0]])
+    annorect[0, 0]["y2"] = np.array([[60.0]])
+
+    image = np.zeros((1, 1), dtype=[("name", "O")])
+    image[0, 0]["name"] = np.array(["im1.jpg"])
+
+    anno = np.zeros((1, 1), dtype=[("image", "O"), ("annorect", "O")])
+    anno[0, 0]["image"] = image
+    anno[0, 0]["annorect"] = annorect
+
+    release = {
+        "RELEASE": {
+            "annolist": anno.reshape(1, 1),
+            "img_train": np.array([[1]]),
+        }
+    }
+    p = str(tmp_path / "mpii.mat")
+    sio.savemat(p, release)
+
+    labels = mpii.prepare_mpii_labels_from_mat(p)
+    assert "im1.jpg" in labels
+    ann = labels["im1.jpg"][0]
+    assert ann["head_rect"] == [5.0, 6.0, 50.0, 60.0]
+    assert ann["2d_joints"][1] == [10.0, 20.0]
+    assert ann["visible_joints"][2] == 1
