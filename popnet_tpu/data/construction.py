@@ -294,3 +294,97 @@ def convert_raw_kdh3d_mp_recordings(depth_data_files, out_dir: str,
         labels["intrinsics"] = intrinsics
     _json.dump(labels, open(os.path.join(out_dir, label_name), "w"))
     return labels
+
+
+# Azure-Kinect 32-joint body-tracking order
+# (reference: parse_kinect_raw_mp.py:110-117)
+KINECT32_JOINT_NAMES = (
+    "PELVIS", "SPINE_NAVAL", "SPINE_CHEST", "NECK", "CLAVICLE_LEFT",
+    "SHOULDER_LEFT", "ELBOW_LEFT", "WRIST_LEFT", "HAND_LEFT", "HANDTIP_LEFT",
+    "THUMB_LEFT", "CLAVICLE_RIGHT", "SHOULDER_RIGHT", "ELBOW_RIGHT",
+    "WRIST_RIGHT", "HAND_RIGHT", "HANDTIP_RIGHT", "THUMB_RIGHT", "HIP_LEFT",
+    "KNEE_LEFT", "ANKLE_LEFT", "FOOT_LEFT", "HIP_RIGHT", "KNEE_RIGHT",
+    "ANKLE_RIGHT", "FOOT_RIGHT", "HEAD", "NOSE", "EYE_LEFT", "EAR_LEFT",
+    "EYE_RIGHT", "EAR_RIGHT",
+)
+
+
+def compute_2d_bbox_from_3d_joints(joints3d: np.ndarray, joint_sz_3d, K: np.ndarray):
+    """Project per-joint 3D extents (+-joint_sz in X and Y at the joint's
+    depth) and take the 2D envelope — the box construction of the raw
+    multi-person capture conversion
+    (reference: parse_kinect_raw_mp.py:154-176)."""
+    j = np.asarray(joints3d, dtype=np.float64)
+    sz = np.asarray(joint_sz_3d, dtype=np.float64)
+
+    def proj(pts):
+        p = (K @ pts.T)
+        return (p[:2] / p[2]).T
+
+    xmin = np.min(proj(j - np.stack([sz, 0 * sz, 0 * sz], 1))[:, 0])
+    xmax = np.max(proj(j + np.stack([sz, 0 * sz, 0 * sz], 1))[:, 0])
+    ymin = np.min(proj(j - np.stack([0 * sz, sz, 0 * sz], 1))[:, 1])
+    ymax = np.max(proj(j + np.stack([0 * sz, sz, 0 * sz], 1))[:, 1])
+    return [float(xmin), float(ymin), float(xmax), float(ymax)]
+
+
+def convert_kinect_raw_mp_frames(
+    depth_stack: np.ndarray,       # (N, H2, W2) target-sensor depth, mm
+    joints3d_per_frame,            # list of (P_i, 32, 3) kinect-frame mm
+    K_target: np.ndarray,          # 3x3 target intrinsics (after crop offset)
+    R: np.ndarray, T: np.ndarray,  # kinect -> target extrinsics (mm)
+    out_dir: str,
+    crop_x: int = 100, crop_y: int = 32,
+    img_width: int = 480, img_height: int = 512,
+    joint_sizes=None,
+    label_name: str = "labels.json",
+):
+    """Synchronized raw multi-person capture -> benchmark files.
+
+    Per frame: transform the 32-joint kinect skeletons into the target
+    sensor frame, select the 15-joint subset, project, crop the depth map
+    (and shift 2D coords) to img_width x img_height, convert mm -> m, and
+    compute bboxes from per-joint 3D extents
+    (reference: parse_kinect_raw_mp.py:121-364). Array-based so the caller
+    owns the capture container format.
+    """
+    import json as _json
+
+    os.makedirs(os.path.join(out_dir, "depth_maps"), exist_ok=True)
+    sub = [KINECT32_JOINT_NAMES.index(n) for n in KINECT_JOINT_SUBSET]
+    if joint_sizes is None:
+        # default joint extents (mm): head biggest, limbs smaller
+        joint_sizes = np.full(len(sub), 100.0)
+        joint_sizes[0] = 120.0
+
+    Kc = np.asarray(K_target, dtype=np.float64).copy()
+    # cropping shifts the principal point
+    Kc[0, 2] -= crop_x
+    Kc[1, 2] -= crop_y
+
+    labels = {}
+    for i in range(depth_stack.shape[0]):
+        crop = depth_stack[i, crop_y : crop_y + img_height, crop_x : crop_x + img_width]
+        name = f"{i:08d}.npy"
+        np.save(os.path.join(out_dir, "depth_maps", name),
+                (crop.astype(np.float32) / 1000.0))
+        labels[name] = []
+        for person in joints3d_per_frame[i]:
+            j3_k = np.asarray(person, dtype=np.float64)[sub]  # (15, 3) mm
+            j3_t = j3_k @ np.asarray(R, dtype=np.float64).T + np.asarray(T, dtype=np.float64).reshape(1, 3)
+            p = Kc @ j3_t.T
+            j2 = (p[:2] / p[2]).T
+            bbox = compute_2d_bbox_from_3d_joints(j3_t, joint_sizes, Kc)
+            labels[name].append(
+                {
+                    "2d_joints": j2.tolist(),
+                    "3d_joints": (j3_t / 1000.0).tolist(),
+                    "bbox": bbox,
+                }
+            )
+    labels["intrinsics"] = {
+        "fx": float(Kc[0, 0]), "fy": float(Kc[1, 1]),
+        "cx": float(Kc[0, 2]), "cy": float(Kc[1, 2]),
+    }
+    _json.dump(labels, open(os.path.join(out_dir, label_name), "w"))
+    return labels

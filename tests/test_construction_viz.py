@@ -164,3 +164,36 @@ def test_convert_raw_mp_recordings(tmp_path):
     assert len(labels[keys[0]]) == P
     assert len(labels[keys[0]][0]["2d_joints"]) == 15
     assert np.asarray(labels[keys[0]][0]["3d_joints"])[:, 2].max() < 6
+
+
+def test_convert_kinect_raw_mp(tmp_path):
+    rng = np.random.default_rng(7)
+    n, H2, W2 = 2, 576, 640
+    depth = rng.uniform(800, 4800, (n, H2, W2)).astype(np.float32)
+    K = np.array([[504.0, 0, 331.7], [0, 504.0, 352.6], [0, 0, 1]])
+    R, T = np.eye(3), np.zeros(3)
+    joints = []
+    for _ in range(n):
+        people = []
+        for _p in range(2):
+            j = rng.normal(0, 250, (32, 3)) + [0, 0, 3000]
+            people.append(j)
+        joints.append(people)
+    labels = construction.convert_kinect_raw_mp_frames(
+        depth, joints, K, R, T, str(tmp_path / "out")
+    )
+    keys = [k for k in labels if k != "intrinsics"]
+    assert len(keys) == n and len(labels[keys[0]]) == 2
+    d = np.load(os.path.join(tmp_path, "out", "depth_maps", keys[0]))
+    assert d.shape == (512, 480) and d.max() < 5.0
+    ann = labels[keys[0]][0]
+    j2 = np.asarray(ann["2d_joints"])
+    j3 = np.asarray(ann["3d_joints"])
+    assert j2.shape == (15, 2) and j3.shape == (15, 3)
+    # bbox envelops the projected joints
+    bb = ann["bbox"]
+    assert bb[0] <= j2[:, 0].min() and bb[2] >= j2[:, 0].max()
+    # projection consistency with the crop-shifted intrinsics
+    intr = labels["intrinsics"]
+    x = j3[:, 0] / j3[:, 2] * intr["fx"] + intr["cx"]
+    np.testing.assert_allclose(x, j2[:, 0], atol=1e-6)
