@@ -101,3 +101,19 @@ def test_roi_dataset_batch(data):
     assert (heat.max((1, 2, 3)) > 0.9).all()
     # the crop centers the chosen person: fg heat should cover a wide area
     assert (heat.max(-1) > 0.5).mean() > 0.02
+
+
+def test_dataset_determinism(data):
+    """Same seed -> identical augmented batches and targets."""
+    def batch(seed):
+        ds = KDH3DDataset(
+            data["img_dir"], data["labels"], bg_aug=True, bg_file=data["labels_bg"],
+            bg_dir=data["bg_dir"], seg_dir=data["seg_dir"], ecfg=CFG, seed=seed,
+        )
+        return ds.get_batch([0, 1, 2])
+
+    b1, b2 = batch(123), batch(123)
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    b3 = batch(321)
+    assert not np.allclose(np.asarray(b1["image"]), np.asarray(b3["image"]))
