@@ -75,6 +75,14 @@ class Trainer:
         self.best_val = float("inf")
         self.epoch = 0
         self.history = []
+        # per-epoch scalars also go to TensorBoard when available
+        # (reference: train_rtpose_light3d_kdh3d.py:322,340-341 tensorboardX)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(out_dir, "tb"))
+        except Exception:
+            self.writer = None
 
     def train_epoch(self, dataset, batch_size: int):
         batch_time, data_time = AverageMeter(), AverageMeter()
@@ -143,6 +151,10 @@ class Trainer:
             self.history.append(rec)
             with open(os.path.join(self.out_dir, "history.jsonl"), "a") as f:
                 f.write(json.dumps(rec) + "\n")
+            if self.writer is not None:
+                self.writer.add_scalar("train_loss", train_loss, self.epoch)
+                self.writer.add_scalar("val_loss", val_loss, self.epoch)
+                self.writer.add_scalar("lr", new_lr, self.epoch)
 
             meta = {
                 "val_loss": val_loss,
