@@ -118,3 +118,40 @@ def test_popnet_driver_oracle(dataset):
     res = ev.evaluate_eval_data(data, verbose=False)
     assert res["pck2d"] > 0.95
     assert res["pck3d"] > 0.9
+
+
+def test_openpose_driver_fast_matches_exact(dataset):
+    """The batched device decode path and the exact host path must produce
+    identical prediction JSONs."""
+    targets = make_oracle(dataset)
+
+    def make_infer():
+        t = {"pos": 0}
+        cache = {}
+
+        def infer(images):
+            key = t["pos"]
+            t["pos"] += images.shape[0]
+            if key not in cache:
+                out = targets_holder[0](images.shape[0])
+                cache[key] = (out["pafs"], out["heatmaps"], out["zmaps"])
+            return cache[key]
+
+        return infer
+
+    # two independent oracles walking the dataset in the same order
+    targets_holder = [make_oracle(dataset)]
+    data_fast = ev.run_openpose_eval(
+        make_infer(), dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG, fast=True
+    )
+    targets_holder = [make_oracle(dataset)]
+    data_exact = ev.run_openpose_eval(
+        make_infer(), dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG, fast=False
+    )
+    for key in ("human_pred_set_2d", "human_pred_set_3d"):
+        assert len(data_fast[key]) == len(data_exact[key])
+        for a, b in zip(data_fast[key], data_exact[key]):
+            assert len(a) == len(b)
+            fa = sorted(np.round(np.asarray(h, float).ravel(), 2).tolist() for h in a)
+            fb = sorted(np.round(np.asarray(h, float).ravel(), 2).tolist() for h in b)
+            np.testing.assert_allclose(fa, fb, atol=0.05)
