@@ -56,11 +56,18 @@ def run_openpose_eval(
     dcfg: DecodeConfig = DecodeConfig(),
     fast: bool = True,
     use_native: bool = True,
+    device_decode: bool = False,
 ):
     """Open-Pose+ inference over an eval dataset -> benchmark eval_data dict.
 
     `infer(image_batch)` must return (paf, heat, z) NHWC with z in
     NORMALIZED units (the raw model output).
+
+    `device_decode=True` runs the whole decode (assembly + z readout +
+    back-projection) as one jitted program (decode/openpose_infer.py); the
+    default host path is the float64 exact reference. Both emit the full
+    ablation contract incl. the perfect-2D channels (reference:
+    evaluation_rtpose_light3d_kdh3d_mpreal_ablation.py:220-305,398-409).
     """
     cam = dataset.intrinsics or dataset.dcfg.intrinsics
     depth: DepthStats = dataset.dcfg.depth
@@ -76,6 +83,7 @@ def run_openpose_eval(
         native_mod = native_mod_ if native_mod_.available() else None
 
     pred2d_set, pred3d_set, pred3d_raw_set = [], [], []
+    pred3d_p2d_set, pred3d_p2d_raw_set = [], []
     conf_set, vis_set = [], []
     gt2d_set, gt3d_set = dataset.gt_human_lists()
 
@@ -89,6 +97,36 @@ def run_openpose_eval(
         paf = np.asarray(paf)
         zmap = np.asarray(zmap) * depth.std + depth.mean
         raw_img = np.asarray(images)[..., 0] * depth.std + depth.mean
+
+        if device_decode:
+            from popnet_tpu.decode.openpose_infer import openpose_decode
+
+            out = openpose_decode(
+                jnp.asarray(heat), jnp.asarray(paf),
+                jnp.asarray(zmap - depth.mean) / depth.std,
+                jnp.asarray(images), ecfg, dcfg, depth, cam,
+                w_out=float(w_org), h_out=float(h_org),
+            )
+            j2 = np.asarray(out["joints2d"], np.float64)
+            j3 = np.asarray(out["joints3d"], np.float64)
+            j3r = np.asarray(out["joints3d_raw"], np.float64)
+            dconf = np.asarray(out["conf"], np.float64)
+            dvis = np.asarray(out["visibility"])
+            dcounts = np.asarray(out["counts"])
+            for b in range(len(idx)):
+                nb = int(dcounts[b])
+                pred2d_set.append([j2[b, p].tolist() for p in range(nb)])
+                pred3d_set.append([j3[b, p].tolist() for p in range(nb)])
+                pred3d_raw_set.append([j3r[b, p].tolist() for p in range(nb)])
+                conf_set.append([list(map(float, dconf[b, p])) for p in range(nb)])
+                vis_set.append([list(map(int, dvis[b, p])) for p in range(nb)])
+                p2d, p2dr = _perfect_2d_channels(
+                    gt2d_set[s + b], zmap[b], raw_img[b], ecfg, dcfg,
+                    w_org, h_org, cam,
+                )
+                pred3d_p2d_set.append(p2d)
+                pred3d_p2d_raw_set.append(p2dr)
+            continue
 
         if fast:
             peaks, valid = find_peaks_batched(
@@ -165,16 +203,53 @@ def run_openpose_eval(
             pred3d_raw_set.append(out3d_raw)
             conf_set.append([list(map(float, c)) for c in conf_vec])
             vis_set.append([list(map(int, v)) for v in visibility])
+            p2d, p2dr = _perfect_2d_channels(
+                gt2d_set[s + b], zmap[b], raw_img[b], ecfg, dcfg,
+                w_org, h_org, cam,
+            )
+            pred3d_p2d_set.append(p2d)
+            pred3d_p2d_raw_set.append(p2dr)
 
     return {
         "human_pred_set_2d": pred2d_set,
         "human_pred_set_3d": pred3d_set,
         "human_pred_set_3d_read_raw_depth": pred3d_raw_set,
+        "human_pred_set_3d_perfect_2d": pred3d_p2d_set,
+        "human_pred_set_3d_perfect_2d_read_raw_depth": pred3d_p2d_raw_set,
         "human_pred_set_part_conf": conf_set,
         "human_pred_set_visibility": vis_set,
         "human_gt_set_2d": gt2d_set,
+        "human_gt_set_2d_visible": [list(g) for g in gt2d_set],
         "human_gt_set_3d": gt3d_set,
     }
+
+
+def _perfect_2d_channels(gt_humans_2d, zmap_img, raw_img, ecfg, dcfg,
+                         w_org, h_org, cam):
+    """Perfect-2D ablation channels: read depth at the GT 2D joints and
+    back-project the GT 2D — isolates the z path from 2D localization
+    (reference: evaluation_rtpose_light3d_kdh3d_mpreal_ablation.py:220-245,
+    388-409). No visibility gating, int() truncation, window-free reads.
+    """
+    gw = ecfg.input_x // dcfg.downsample
+    gh = ecfg.input_y // dcfg.downsample
+    out3d, out3d_raw = [], []
+    for human in gt_humans_2d:
+        h = np.asarray(human, dtype=np.float64)
+        zp = np.full(ecfg.num_joints, -1.0)
+        zr = np.full(ecfg.num_joints, -1.0)
+        for j in range(min(len(h), ecfg.num_joints)):
+            x2d = int(h[j, 0] / w_org * ecfg.input_x / dcfg.downsample)
+            y2d = int(h[j, 1] / h_org * ecfg.input_y / dcfg.downsample)
+            x2d = min(max(x2d, 0), gw - 1)
+            y2d = min(max(y2d, 0), gh - 1)
+            zp[j] = zmap_img[y2d, x2d, j]
+            xr = min(max(int(h[j, 0] / w_org * ecfg.input_x), 0), ecfg.input_x - 1)
+            yr = min(max(int(h[j, 1] / h_org * ecfg.input_y), 0), ecfg.input_y - 1)
+            zr[j] = raw_img[yr, xr]
+        out3d.append(_back_project(h, zp, cam).tolist())
+        out3d_raw.append(_back_project(h, zr, cam).tolist())
+    return out3d, out3d_raw
 
 
 def run_yolo_eval(
@@ -337,6 +412,34 @@ def evaluate_predictions(pred2d, pred3d, conf, gt2d, gt3d, verbose: bool = True)
     if verbose:
         print(json.dumps({k: v for k, v in result.items() if not k.startswith("per_")}))
     return result
+
+
+def evaluate_ablation_channels(eval_data: dict, num_joints: int = 15,
+                               dist_th: float = 0.1, iou_th: float = 0.5):
+    """Score the 3D ablation channels — the ablation-as-oracle verification
+    pattern (reference: evaluation_rtpose_light3d_kdh3d_mpreal_ablation.py:
+    432-545; channel pairings incl. the commented-out blocks, which define
+    which pred-2D list drives the matching for each 3D channel)."""
+    gt2d = eval_data["human_gt_set_2d"]
+    gt3d = eval_data["human_gt_set_3d"]
+    channels = {
+        "pose_depth": (eval_data["human_pred_set_2d"], "human_pred_set_3d"),
+        "raw_depth": (eval_data["human_pred_set_2d"], "human_pred_set_3d_read_raw_depth"),
+        "perfect_2d": (gt2d, "human_pred_set_3d_perfect_2d"),
+        "perfect_2d_visible": (eval_data.get("human_gt_set_2d_visible", gt2d),
+                               "human_pred_set_3d_perfect_2d"),
+        "perfect_2d_raw_depth": (gt2d, "human_pred_set_3d_perfect_2d_read_raw_depth"),
+    }
+    out = {}
+    for name, (p2d, key3d) in channels.items():
+        if key3d not in eval_data:
+            continue
+        _, pck = eval_pck.eval_human_dataset_3d(
+            p2d, gt2d, eval_data[key3d], gt3d, num_joints=num_joints,
+            dist_th=dist_th, iou_th=iou_th,
+        )
+        out[name] = float(np.nanmean(pck))
+    return out
 
 
 def evaluate_eval_data(eval_data: dict, use_aligned: bool | None = None, verbose=True):

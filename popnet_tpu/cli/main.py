@@ -192,7 +192,10 @@ def cmd_evaluate(args):
             (paf, heat, z), _ = model.apply(variables, images, train=False)
             return paf, heat, z
 
-        data = ev.run_openpose_eval(infer, dataset, args.batch_size, ecfg, decfg)
+        data = ev.run_openpose_eval(
+            infer, dataset, args.batch_size, ecfg, decfg,
+            device_decode=getattr(args, "device_decode", False),
+        )
     else:
         def infer(images):
             return model.apply(variables, images, train=False)
@@ -205,6 +208,9 @@ def cmd_evaluate(args):
         json.dump(data, f)
     print(f"wrote {out_json}")
     ev.evaluate_eval_data(data)
+    if "human_pred_set_3d_perfect_2d" in data:
+        print("ablation 3D-PCK channels:",
+              json.dumps(ev.evaluate_ablation_channels(data, ecfg.num_joints)))
 
 
 def cmd_benchmark(args):
@@ -312,6 +318,11 @@ def build_parser():
     e = sub.add_parser("evaluate")
     common(e)
     e.add_argument("--ckpt", default=None)
+    e.add_argument(
+        "--device-decode", action="store_true",
+        help="run the full Open-Pose+ decode (assembly + z readout + "
+             "back-projection) on device as one jitted program",
+    )
     e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("benchmark")
