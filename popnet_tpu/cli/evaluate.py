@@ -314,10 +314,13 @@ def run_popnet_eval(
     batch_size: int = 16,
     ecfg: EncoderConfig = EncoderConfig(),
     dcfg: DecodeConfig = DecodeConfig(),
+    readout: str = "gated",
 ):
     """PoP-Net inference -> benchmark eval_data dict with `*_aligned` keys.
 
-    `infer(image_batch)` returns (heat, z, align, prior) NHWC.
+    `infer(image_batch)` returns (heat, z, align, prior) NHWC. `readout`
+    selects the alignment mechanism ("gated" or "universe"), see
+    decode/popnet_infer.popnet_decode.
     """
     cam = dataset.intrinsics or dataset.dcfg.intrinsics
     depth = dataset.dcfg.depth
@@ -336,7 +339,7 @@ def run_popnet_eval(
         out = popnet_decode(
             jnp.asarray(heat), jnp.asarray(zmap), jnp.asarray(align),
             jnp.asarray(prior_map), ecfg, dcfg, depth, cam,
-            w_out=float(w_org), h_out=float(h_org),
+            w_out=float(w_org), h_out=float(h_org), readout=readout,
         )
         j2 = np.asarray(out["joints2d"])
         j3 = np.asarray(out["joints3d"])

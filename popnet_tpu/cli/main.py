@@ -186,7 +186,10 @@ def cmd_evaluate(args):
             (heat, z, align, prior), _ = model.apply(variables, images, train=False)
             return heat, z, align, prior
 
-        data = ev.run_popnet_eval(infer, dataset, args.batch_size, ecfg, decfg)
+        data = ev.run_popnet_eval(
+            infer, dataset, args.batch_size, ecfg, decfg,
+            readout=getattr(args, "readout", "gated"),
+        )
     elif args.model == "openpose":
         def infer(images):
             (paf, heat, z), _ = model.apply(variables, images, train=False)
@@ -318,6 +321,11 @@ def build_parser():
     e = sub.add_parser("evaluate")
     common(e)
     e.add_argument("--ckpt", default=None)
+    e.add_argument(
+        "--readout", choices=["gated", "universe"], default="gated",
+        help="PoP-Net alignment readout: heat-gated window refinement "
+             "(default) or the reference's universe_align_map fusion",
+    )
     e.add_argument(
         "--device-decode", action="store_true",
         help="run the full Open-Pose+ decode (assembly + z readout + "

@@ -33,7 +33,38 @@ def _window_offsets(radius: int):
     return dx.reshape(-1), dy.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("ecfg", "dcfg", "depth", "cam"))
+def _int_peaks_batched(heat: jnp.ndarray, thresh: float, max_peaks: int):
+    """Integer-coordinate local maxima per joint channel, top-K by score
+    (the device twin of decode/peaks_np.find_peaks, no subpixel refine).
+
+    heat (B, H, W, K) -> (px, py, valid) each (B, K, N)."""
+    from popnet_tpu.ops.pallas_kernels import peak_mask
+
+    B, H, W, K = heat.shape
+    is_peak = peak_mask(heat, thresh)
+    s = jnp.where(is_peak, heat, -jnp.inf).transpose(0, 3, 1, 2).reshape(B, K, H * W)
+
+    def select(carry, _):
+        idx = jnp.argmax(carry, axis=-1)
+        val = jnp.take_along_axis(carry, idx[..., None], -1)[..., 0]
+        carry = jnp.where(jax.nn.one_hot(idx, H * W, dtype=bool), -jnp.inf, carry)
+        return carry, (idx, val)
+
+    _, (idx, val) = jax.lax.scan(select, s, None, length=max_peaks)
+    idx = jnp.moveaxis(idx, 0, -1)  # (B, K, N)
+    val = jnp.moveaxis(val, 0, -1)
+    valid = jnp.isfinite(val)
+    # row-major (scan) order like the host's np.nonzero, so downstream
+    # nearest-peak argmin ties break identically (peaks_np.find_peaks)
+    idx = jnp.sort(jnp.where(valid, idx, H * W), axis=-1)
+    valid = idx < H * W
+    idx = jnp.where(valid, idx, 0)
+    return idx % W, idx // W, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ecfg", "dcfg", "depth", "cam", "readout", "ht_thresh")
+)
 def popnet_decode(
     heat: jnp.ndarray,    # (B, Hg, Wg, K+1)
     zmap: jnp.ndarray,    # (B, Hg, Wg, K) normalized
@@ -45,9 +76,25 @@ def popnet_decode(
     cam: CameraIntrinsics,
     w_out: float = 480.0,
     h_out: float = 512.0,
+    readout: str = "gated",
+    ht_thresh: float = 0.5,
 ):
     """Returns dict with boxes (B,M,5 px), joints2d (B,M,K,2 px),
-    joints3d (B,M,K,3 m), conf (B,M,K), valid (B,M)."""
+    joints3d (B,M,K,3 m), conf (B,M,K), valid (B,M).
+
+    `readout` selects the 2D/z refinement mechanism:
+
+    - "gated" (default): heat-gated window refinement — each window cell
+      votes its align-corrected center, heat-weighted; joints without local
+      heat evidence keep the prior subnet's direct prediction.
+    - "universe": the reference's universe_align_map fusion (reference:
+      lib/utils/prior_pose_align.py:321-375, shipped library-only) — align
+      offsets outside any heat peak's radius box are replaced by the offset
+      toward the nearest peak of that joint type, then the fused field is
+      read out heat-weighted (common.py:161-187) and z re-read at the
+      refined position (common.py:272-293). `ht_thresh` is the peak
+      threshold of the fusion (reference default 0.5).
+    """
     K = ecfg.num_joints
     anchors = jnp.asarray(ecfg.anchors, dtype=jnp.float32)
     dets, valid = decode_prior_maps(
@@ -87,26 +134,76 @@ def popnet_decode(
     axwin = window(align2[..., 0])
     aywin = window(align2[..., 1])
     wsum = jnp.sum(hwin, axis=-1)
-    # candidate centers voted by each window cell (align-grid units)
-    cand_x = gxw + 0.5 + axwin * span
-    cand_y = gyw + 0.5 + aywin * span
-    ref_x = jnp.sum(cand_x * hwin, axis=-1) / wsum  # (B, M, K)
-    ref_y = jnp.sum(cand_y * hwin, axis=-1) / wsum
-    z_norm = jnp.sum(zwin * hwin, axis=-1) / wsum
-    z = z_norm * depth.std + depth.mean
-
-    # alignment confidence: where local heat evidence is weak, keep the
-    # prior subnet's direct prediction
     heat_at = jnp.einsum(
         "byxk,bmky,bmkx->bmk",
         heat[..., :K],
         jax.nn.one_hot(cy, Hg, dtype=heat.dtype),
         jax.nn.one_hot(cx, Wg, dtype=heat.dtype),
     )
-    use_align = heat_at > dcfg.thresh_heatmap
-    out_x = jnp.where(use_align, ref_x / Wg, jx) * w_out
-    out_y = jnp.where(use_align, ref_y / Hg, jy) * h_out
-    out_z = jnp.where(use_align, z, jz_prior)
+
+    if readout == "gated":
+        # candidate centers voted by each window cell (align-grid units)
+        cand_x = gxw + 0.5 + axwin * span
+        cand_y = gyw + 0.5 + aywin * span
+        ref_x = jnp.sum(cand_x * hwin, axis=-1) / wsum  # (B, M, K)
+        ref_y = jnp.sum(cand_y * hwin, axis=-1) / wsum
+        z_norm = jnp.sum(zwin * hwin, axis=-1) / wsum
+        z = z_norm * depth.std + depth.mean
+
+        # alignment confidence: where local heat evidence is weak, keep the
+        # prior subnet's direct prediction
+        use_align = heat_at > dcfg.thresh_heatmap
+        out_x = jnp.where(use_align, ref_x / Wg, jx) * w_out
+        out_y = jnp.where(use_align, ref_y / Hg, jy) * h_out
+        out_z = jnp.where(use_align, z, jz_prior)
+    elif readout == "universe":
+        px, py, pk_valid = _int_peaks_batched(
+            heat[..., :K], ht_thresh, dcfg.max_peaks
+        )  # (B, K, N)
+        pxe = px[:, None, :, None, :]                    # (B, 1, K, 1, N)
+        pye = py[:, None, :, None, :]
+        dxp = (pxe - gxw[..., None]).astype(jnp.float32)  # (B, M, K, win, N)
+        dyp = (pye - gyw[..., None]).astype(jnp.float32)
+        d2 = jnp.where(
+            pk_valid[:, None, :, None, :], dxp * dxp + dyp * dyp, jnp.inf
+        )
+        nearest = jnp.argmin(d2, axis=-1)
+        far_x = jnp.take_along_axis(dxp, nearest[..., None], -1)[..., 0]
+        far_y = jnp.take_along_axis(dyp, nearest[..., None], -1)[..., 0]
+        ra = float(ecfg.align_radius)
+        in_box = (
+            (jnp.abs(dxp) <= ra) & (jnp.abs(dyp) <= ra)
+            & pk_valid[:, None, :, None, :]
+        )
+        fg = jnp.any(in_box, axis=-1)                    # cell near some peak
+        has_pk = jnp.any(pk_valid, axis=-1)[:, None, :, None]
+        off_x = jnp.where(has_pk & ~fg, far_x, axwin * span)
+        off_y = jnp.where(has_pk & ~fg, far_y, aywin * span)
+
+        # retrieve_offsets_heat_weighted at the prior position's window
+        dxv = off_x + (gxw - cx[..., None]) + 0.5
+        dyv = off_y + (gyw - cy[..., None]) + 0.5
+        ref_x = cx + jnp.sum(dxv * hwin, axis=-1) / wsum  # grid units
+        ref_y = cy + jnp.sum(dyv * hwin, axis=-1) / wsum
+
+        # z re-read (heat-weighted) at the REFINED position
+        cx2 = jnp.clip(ref_x.astype(jnp.int32), 0, Wg - 1)
+        cy2 = jnp.clip(ref_y.astype(jnp.int32), 0, Hg - 1)
+        gxw2 = jnp.clip(cx2[..., None] + dxo, 0, Wg - 1)
+        gyw2 = jnp.clip(cy2[..., None] + dyo, 0, Hg - 1)
+        rs2 = jax.nn.one_hot(gyw2, Hg, dtype=heat.dtype)
+        cs2 = jax.nn.one_hot(gxw2, Wg, dtype=heat.dtype)
+        hwin2 = jnp.maximum(
+            jnp.einsum("byxk,bmkiy,bmkix->bmki", heat[..., :K], rs2, cs2), 0.0
+        ) + 1e-9
+        zwin2 = jnp.einsum("byxk,bmkiy,bmkix->bmki", zmap, rs2, cs2)
+        z = (jnp.sum(zwin2 * hwin2, -1) / jnp.sum(hwin2, -1)) * depth.std + depth.mean
+
+        out_x = ref_x / Wg * w_out
+        out_y = ref_y / Hg * h_out
+        out_z = z
+    else:
+        raise ValueError(f"unknown readout {readout!r}")
 
     X = (out_x - cam.cx) / cam.fx * out_z
     Y = (out_y - cam.cy) / cam.fy * out_z

@@ -106,14 +106,19 @@ def test_yolo_driver_oracle(dataset):
     assert res["map3d"] > 0.99
 
 
-def test_popnet_driver_oracle(dataset):
+@pytest.mark.parametrize("readout", ["gated", "universe"])
+def test_popnet_driver_oracle(dataset, readout):
+    """Both alignment readouts (heat-gated window refinement and the
+    reference's universe_align_map fusion) through the full driver."""
     targets = make_oracle(dataset)
 
     def infer(images):
         t = targets(images.shape[0])
         return t["heatmaps"], t["zmaps"], t["align_maps"], t["prior_map"]
 
-    data = ev.run_popnet_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
+    data = ev.run_popnet_eval(
+        infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG, readout=readout
+    )
     assert "human_pred_set_2d_aligned" in data
     res = ev.evaluate_eval_data(data, verbose=False)
     assert res["pck2d"] > 0.95
