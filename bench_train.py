@@ -1,0 +1,100 @@
+"""Training-throughput benchmark: PoP-Net train step + real input pipeline.
+
+Measures, on the real chip:
+  1. end-to-end train frames/sec (host IO + on-device augment/encode +
+     fwd/bwd/update) with the background-prefetch iterator,
+  2. the input pipeline alone (same iteration, no step) -> headroom.
+
+Run: python bench_train.py            (env: TRAIN_BATCH=64,128 TRAIN_DTYPE=bf16)
+Prints one JSON line per configuration. Not driver-facing (bench.py is the
+inference headline); results recorded in PARITY.md.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from popnet_tpu.core.config import EncoderConfig
+    from popnet_tpu.data.datasets import KDH3DDataset
+    from popnet_tpu.losses import popnet_loss
+    from popnet_tpu.models import PopNet
+    from popnet_tpu.parallel.mesh import make_mesh
+    from popnet_tpu.train.loop import Trainer
+    from popnet_tpu.train.steps import make_popnet_train_step
+
+    from tests import synthetic_data
+
+    n_images = int(os.environ.get("TRAIN_IMAGES", "256"))
+    batches = [int(b) for b in os.environ.get("TRAIN_BATCH", "64,128").split(",")]
+    dtype = jnp.bfloat16 if os.environ.get("TRAIN_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    root = tempfile.mkdtemp(prefix="bench_train_")
+    paths = synthetic_data.build(root, n_images=n_images)
+    ecfg = EncoderConfig()
+    ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg, is_train=True)
+
+    model = PopNet(dtype=dtype)
+    step = make_popnet_train_step()
+
+    def eval_loss(state, batch):
+        (_, saved) = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False,
+        )
+        loss, _ = popnet_loss(
+            saved, batch["heatmaps"], batch["zmaps"], batch["fg_masks_z"],
+            batch["align_maps"], batch["fg_masks_align"], batch["prior_map"],
+            batch["prior_mask_conf"], batch["prior_mask_coord"],
+            ecfg.num_joints, prior_weight_map=batch["prior_weight_map"],
+        )
+        return loss
+
+    for batch_size in batches:
+        mesh = make_mesh(jax.devices()[:1])
+        trainer = Trainer(
+            model, step, eval_loss, learning_rate=1.0,
+            mesh=mesh, out_dir=os.path.join(root, f"run{batch_size}"),
+            print_freq=10**9,
+        )
+
+        # input pipeline alone (second pass so file cache is warm)
+        for _ in ds.iter_batches(batch_size):
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for b in ds.iter_batches(batch_size):
+            n += batch_size
+            jax.block_until_ready(b["image"])
+        dt_data = time.perf_counter() - t0
+
+        # warm epoch (compile), then timed epoch; final loss materialization
+        # is the hard sync (block_until_ready is unreliable on this backend)
+        trainer.train_epoch(ds, batch_size)
+        t0 = time.perf_counter()
+        loss = trainer.train_epoch(ds, batch_size)
+        dt = time.perf_counter() - t0
+        steps = n_images // batch_size
+
+        print(json.dumps({
+            "metric": "popnet_train_throughput",
+            "batch": batch_size,
+            "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "frames_per_sec": round(steps * batch_size / dt, 1),
+            "input_pipeline_fps": round(n / dt_data, 1),
+            "final_loss": round(float(loss), 4),
+        }))
+
+
+if __name__ == "__main__":
+    main()

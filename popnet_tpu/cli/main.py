@@ -119,6 +119,8 @@ def cmd_train(args):
             )
             return loss
 
+    elif args.model == "a2j":
+        return _train_a2j(args, ecfg, dcfg)
     else:
         step = make_yolo_train_step()
 
@@ -145,7 +147,71 @@ def cmd_train(args):
     trainer = Trainer(
         model, step, eval_loss,
         sample_input_shape=(1, args.input_size, args.input_size, 1),
-        learning_rate=args.lr, weight_decay=args.weight_decay,
+        learning_rate=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        out_dir=args.out_dir, seed=args.seed,
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size)
+
+
+def _train_a2j(args, ecfg, dcfg):
+    """A2J training recipe: Adam 3.5e-4 + L2 1e-4, StepLR(10, 0.2),
+    RegLossFactor 3, spatialFactor 0.5, random erasing, per-epoch
+    checkpoints (reference: train_a2j_mpaug_new.py:427-567; ITOP variant
+    itop_train_64.py:40-52 — xy_thres=120, depth_thres=0.4)."""
+    import argparse as _ap
+
+    import jax.numpy as jnp
+
+    from popnet_tpu.data.a2j_crops import A2JCropDataset, CROP, ITOPA2JCropDataset
+    from popnet_tpu.losses import a2j_loss
+    from popnet_tpu.models.a2j import generate_anchors, shift_anchors
+    from popnet_tpu.train.loop import Trainer
+    from popnet_tpu.train.schedule import StepLR
+    from popnet_tpu.train.steps import make_a2j_train_step
+
+    model = _build_model("a2j")
+    all_anchors = jnp.asarray(
+        shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
+        jnp.float32,
+    )
+    # ITOP regresses torso-RELATIVE z; the offset head stays in the same
+    # units either way (is_3d toggles nothing here — loss is identical)
+    step = make_a2j_train_step(all_anchors)
+
+    def eval_loss(state, batch):
+        heads = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["crops"], train=False,
+        )
+        anchor_l, reg_l = a2j_loss(heads, batch["labels"], all_anchors)
+        return anchor_l + reg_l * 3.0
+
+    def wrap(inner, seed):
+        if args.dataset == "itop":
+            return ITOPA2JCropDataset(inner, seed=seed)
+        return A2JCropDataset(inner, seed=seed)
+
+    train_ds = wrap(_train_dataset(args, ecfg, dcfg), args.seed)
+    val_ds = None
+    if args.val_labels:
+        val_args = _ap.Namespace(**vars(args))
+        val_args.labels = args.val_labels
+        val_args.mp_aug = False
+        inner = _train_dataset(val_args, ecfg, dcfg)
+        inner.augment = False
+        val_ds = wrap(inner, args.seed + 1)
+        val_ds.augment = False
+
+    lr = args.lr if args.lr != 1.0 else 3.5e-4  # recipe default when unset
+    wd = args.weight_decay if args.weight_decay else 1e-4
+    trainer = Trainer(
+        model, step, eval_loss,
+        sample_input_shape=(1, CROP, CROP, 1),
+        learning_rate=lr, weight_decay=wd,
+        optimizer="adam", scheduler=StepLR(lr, step_size=10, gamma=0.2),
         out_dir=args.out_dir, seed=args.seed,
     )
     if args.resume:
@@ -166,6 +232,8 @@ def cmd_evaluate(args):
     dcfg = _dataset_cfg(args.dataset)
     ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
     decfg = DecodeConfig()
+    if args.model == "a2j":
+        return _evaluate_yolo_a2j(args, ecfg, dcfg, decfg)
     model = _build_model(args.model)
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 1))
@@ -214,6 +282,62 @@ def cmd_evaluate(args):
     if "human_pred_set_3d_perfect_2d" in data:
         print("ablation 3D-PCK channels:",
               json.dumps(ev.evaluate_ablation_channels(data, ecfg.num_joints)))
+
+
+def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
+    """Two-stage Yolo-A2J benchmark row from the CLI: stage-1 detector boxes
+    + stage-2 A2J crops (reference: evaluation_yolo_posenet_kdh3d_mpreal_
+    a2j_preprocess.py + a2j_test_pred_box.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from popnet_tpu.cli import evaluate as ev
+    from popnet_tpu.cli.yolo_a2j import run_yolo_a2j_eval
+    from popnet_tpu.data.a2j_crops import CROP
+    from popnet_tpu.data.datasets import MPRealDataset
+    from popnet_tpu.train.checkpoint import restore_checkpoint
+    from popnet_tpu.train.state import create_train_state
+
+    if not args.yolo_ckpt:
+        raise SystemExit("evaluate --model a2j requires --yolo-ckpt (stage-1 detector)")
+
+    a2j = _build_model("a2j")
+    a2j_state = create_train_state(
+        a2j, jax.random.PRNGKey(0), jnp.zeros((1, CROP, CROP, 1))
+    )
+    if args.ckpt:
+        a2j_state, _, _ = restore_checkpoint(args.ckpt, a2j_state)
+    yolo = _build_model("yolo")
+    yolo_state = create_train_state(
+        yolo, jax.random.PRNGKey(0),
+        jnp.zeros((1, args.input_size, args.input_size, 1)),
+    )
+    yolo_state, _, _ = restore_checkpoint(args.yolo_ckpt, yolo_state)
+
+    dataset = MPRealDataset(
+        os.path.join(args.data_root, "depth_maps"),
+        os.path.join(args.data_root, args.labels), ecfg=ecfg, dcfg=dcfg,
+    )
+
+    def infer_yolo(images):
+        v = {"params": yolo_state.params}
+        if yolo_state.batch_stats is not None:
+            v["batch_stats"] = yolo_state.batch_stats
+        return yolo.apply(v, images, train=False)
+
+    def infer_a2j(crops):
+        v = {"params": a2j_state.params}
+        if a2j_state.batch_stats is not None:
+            v["batch_stats"] = a2j_state.batch_stats
+        return a2j.apply(v, crops, train=False)
+
+    data = run_yolo_a2j_eval(infer_yolo, infer_a2j, dataset, args.batch_size, ecfg, decfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_json = os.path.join(args.out_dir, "a2j_results.json")
+    with open(out_json, "w") as f:
+        json.dump(data, f)
+    print(f"wrote {out_json}")
+    ev.evaluate_eval_data(data)
 
 
 def cmd_benchmark(args):
@@ -299,7 +423,10 @@ def build_parser():
         sp.add_argument("--data-root", required=True)
         sp.add_argument("--labels", default="labels.json")
         sp.add_argument("--dataset", choices=["kdh3d", "itop"], default="kdh3d")
-        sp.add_argument("--model", choices=["popnet", "openpose", "yolo"], default="popnet")
+        sp.add_argument(
+            "--model", choices=["popnet", "openpose", "yolo", "a2j"],
+            default="popnet",
+        )
         sp.add_argument("--input-size", type=int, default=224)
         sp.add_argument("--batch-size", type=int, default=32)
         sp.add_argument("--out-dir", default="runs/out")
@@ -309,6 +436,7 @@ def build_parser():
     common(t)
     t.add_argument("--epochs", type=int, default=100)
     t.add_argument("--lr", type=float, default=1.0)
+    t.add_argument("--momentum", type=float, default=0.9)
     t.add_argument("--weight-decay", type=float, default=0.0)
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")
@@ -321,6 +449,10 @@ def build_parser():
     e = sub.add_parser("evaluate")
     common(e)
     e.add_argument("--ckpt", default=None)
+    e.add_argument(
+        "--yolo-ckpt", default=None,
+        help="stage-1 detector checkpoint for --model a2j (two-stage Yolo-A2J)",
+    )
     e.add_argument(
         "--readout", choices=["gated", "universe"], default="gated",
         help="PoP-Net alignment readout: heat-gated window refinement "

@@ -107,3 +107,145 @@ def random_erasing(
         & do[:, None, None]
     )
     return jnp.where(inpatch[..., None], noise, crops)
+
+
+class A2JCropDataset:
+    """Person-crop training set for A2J over any composited depth dataset.
+
+    Reference recipe (train_a2j_mpaug_new.py:356-428 my_dataloader +
+    dataPreprocess): compose the multi-person frame, run the shared 2D+3D
+    augmentation (Rotate, RenderDepth max 1.7, Resize back to full res),
+    pick ONE random person, crop its GT box to 288^2 with zero OOB padding,
+    labels (y, x, z_world) in crop space, optional random noise-patch
+    erasing. Wraps any dataset exposing load_composited(i) -> (depth, anns).
+    """
+
+    def __init__(self, inner, augment: bool = True, erase: bool = True,
+                 out_size: int = CROP, seed: int = 0):
+        from popnet_tpu.data import augment_host as ah
+
+        self.inner = inner
+        self.is_train = inner.is_train
+        self.augment = augment and inner.is_train
+        self.erase = erase
+        self.out_size = out_size
+        self.rng = np.random.default_rng(seed)
+        self._erase_key = jax.random.PRNGKey(seed + 1)
+        self.depth = inner.dcfg.depth
+        cam = inner.dcfg.intrinsics
+        w, h = inner.dcfg.width, inner.dcfg.height
+        cvt = ah.Cvt2ndarray(num_joints=inner.ecfg.num_joints)
+        self._pipeline = ah.Compose([
+            cvt,
+            ah.Rotate(cx=cam.cx, cy=cam.cy, rng=self.rng),
+            ah.RenderDepth(cx=cam.cx, cy=cam.cy, max_ratio=1.7, rng=self.rng),
+            ah.Resize(w, h),
+        ])
+        self._ident = ah.Compose([cvt, ah.Resize(w, h)])
+
+    def __len__(self):
+        return len(self.inner)
+
+    def get_batch(self, indices):
+        imgs, boxes, j2s, zs = [], [], [], []
+        for idx in indices:
+            depth, anns = self.inner.load_composited(int(idx))
+            depth, anns = (self._pipeline if self.augment else self._ident)(
+                (depth, anns)
+            )
+            i = int(self.rng.integers(0, len(anns))) if self.augment else 0
+            ann = anns[i]
+            imgs.append(depth.astype(np.float32))
+            boxes.append(np.asarray(ann["bbox"][:4], np.float64))
+            j2s.append(np.asarray(ann["2d_joints"], np.float64))
+            zs.append(np.asarray(ann["3d_joints"], np.float64)[:, 2])
+
+        images = jnp.asarray(np.stack(imgs))
+        boxes = np.stack(boxes)
+        crops = crop_resize_batch(
+            images, jnp.arange(len(imgs)), jnp.asarray(boxes, jnp.float32),
+            mean=self.depth.mean, std=self.depth.std, out_size=self.out_size,
+        )
+        if self.augment and self.erase:
+            self._erase_key, sub = jax.random.split(self._erase_key)
+            crops = random_erasing(crops, sub)
+        labels = crop_labels(np.stack(j2s), np.stack(zs), boxes, self.out_size)
+        return {"crops": crops, "labels": jnp.asarray(labels)}
+
+    # same background-prefetch iterator as the dense datasets
+    from popnet_tpu.data.datasets import _BaseDataset as _B
+    iter_batches = _B.iter_batches
+    del _B
+
+
+class ITOPA2JCropDataset:
+    """ITOP A2J recipe: torso-centered world-extent crops, torso-relative
+    depth (reference: itop_train_64.py:44-52, 215-290 — xy_thres=120,
+    depth_thres=0.4, RandCropShift=5, random erasing p=0.5 at :313).
+
+    `inner` must expose images + single-person joints_uvd per index
+    (the ITOP h5-derived layout of data/construction.py); `center_joint`
+    defaults to the torso (GT stand-in for the reference's refined centers).
+    """
+
+    def __init__(self, inner, xy_thres: float = 120.0, depth_thres: float = 0.4,
+                 rand_shift: int = 5, center_joint: int = 8,
+                 augment: bool = True, erase: bool = True,
+                 out_size: int = CROP, seed: int = 0):
+        from popnet_tpu.core.camera import ITOP_INTRINSICS
+        from popnet_tpu.data.itop_a2j import (
+            boxes_from_centers, itop_crop_batch, itop_crop_labels,
+        )
+
+        self.inner = inner
+        self.is_train = inner.is_train
+        self.augment = augment and inner.is_train
+        self.erase = erase
+        self.out_size = out_size
+        self.rng = np.random.default_rng(seed)
+        self._erase_key = jax.random.PRNGKey(seed + 1)
+        self.xy_thres = xy_thres
+        self.depth_thres = depth_thres
+        self.rand_shift = rand_shift
+        self.center_joint = center_joint
+        self.cam = inner.intrinsics or ITOP_INTRINSICS
+        self.depth = inner.dcfg.depth
+        self._boxes_from_centers = boxes_from_centers
+        self._crop = itop_crop_batch
+        self._labels = itop_crop_labels
+
+    def __len__(self):
+        return len(self.inner)
+
+    def get_batch(self, indices):
+        imgs, uvds = [], []
+        for idx in indices:
+            depth, anns = self.inner.load_composited(int(idx))
+            ann = anns[0]
+            j2 = np.asarray(ann["2d_joints"], np.float64)
+            j3 = np.asarray(ann["3d_joints"], np.float64)
+            imgs.append(depth.astype(np.float32))
+            uvds.append(np.concatenate([j2, j3[:, 2:3]], axis=1))  # (K, 3)
+        uvd = np.stack(uvds)
+        centers = uvd[:, self.center_joint]  # (B, 3)
+        h, w = imgs[0].shape
+        boxes = self._boxes_from_centers(
+            centers, self.cam, xy_thres=self.xy_thres, img_h=h, img_w=w,
+            rand_shift=self.rand_shift if self.augment else 0, rng=self.rng,
+        )
+        cz = centers[:, 2].astype(np.float32)
+        crops = self._crop(
+            jnp.asarray(np.stack(imgs)), jnp.arange(len(imgs)),
+            jnp.asarray(boxes), jnp.asarray(cz),
+            mean=self.depth.mean, std=self.depth.std,
+            depth_thres=self.depth_thres, out_size=self.out_size,
+        )
+        if self.augment and self.erase:
+            self._erase_key, sub = jax.random.split(self._erase_key)
+            crops = random_erasing(crops, sub)
+        labels = self._labels(uvd, boxes, cz, self.out_size)
+        return {"crops": crops, "labels": jnp.asarray(labels)}
+
+    from popnet_tpu.data.datasets import _BaseDataset as _B
+    iter_batches = _B.iter_batches
+    del _B

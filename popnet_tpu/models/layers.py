@@ -86,9 +86,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        # explicit (1, 1) pad: torch-symmetric at stride 2, where TF-SAME
+        # would pad (0, 1) and shift the grid (weight-import parity)
         y = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=False, dtype=self.dtype,
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
             kernel_init=nn.initializers.kaiming_normal(),
         )(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
@@ -125,7 +127,7 @@ class Bottleneck(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     kernel_init=nn.initializers.kaiming_normal())(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
@@ -164,7 +166,8 @@ class ResPreprocessStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        # pad (3, 3): torch-symmetric for the stride-2 stem (TF-SAME pads 2/3)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, kernel_init=nn.initializers.kaiming_normal())(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
@@ -188,7 +191,8 @@ class ResNet34Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        # pad (3, 3): torch-symmetric for the stride-2 stem (TF-SAME pads 2/3)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, kernel_init=nn.initializers.kaiming_normal())(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)

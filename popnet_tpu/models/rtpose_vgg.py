@@ -40,15 +40,66 @@ class VGG19Trunk(nn.Module):
         return x
 
 
-class RTPoseVGG(nn.Module):
-    num_parts: int = 18   # COCO
-    num_limbs: int = 19
-    num_stages: int = 6
+class MobileNetTrunk(nn.Module):
+    """MobileNet-style trunk per the reference's `use_mobilenet` block0
+    config (reference: rtpose_vgg.py:84-91): conv_bn(32, s2) then four
+    depthwise-separable blocks (64/s1, 128/s2, 128/s1, 256/s2), then the
+    two CPM reduction convs to 128 ch at stride 8.
+
+    NOTE: the reference ships this CONFIG but its builder never constructs
+    block0 for the mobilenet branch (rtpose_vgg.py:130-133 builds block0
+    only for vgg19), so the torch path crashes if selected; this is the
+    working realization of that intent with standard MobileNet-v1
+    conv_dw semantics (dw3x3+BN+ReLU, pw1x1+BN+ReLU).
+    """
+
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = VGG19Trunk(dtype=self.dtype, name="trunk")(x, train)
+        def bn_relu(x):
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            return nn.relu(x)
+
+        def conv_bn(x, feats, stride):
+            x = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype)(x)
+            return bn_relu(x)
+
+        def conv_dw(x, feats, stride):
+            c = x.shape[-1]
+            x = nn.Conv(c, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)), feature_group_count=c,
+                        use_bias=False, dtype=self.dtype)(x)
+            x = bn_relu(x)
+            x = nn.Conv(feats, (1, 1), use_bias=False, dtype=self.dtype)(x)
+            return bn_relu(x)
+
+        x = conv_bn(x, 32, 2)
+        x = conv_dw(x, 64, 1)
+        x = conv_dw(x, 128, 2)
+        x = conv_dw(x, 128, 1)
+        x = conv_dw(x, 256, 2)
+        x = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv4_3_CPM")(x)
+        x = nn.relu(x)
+        x = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv4_4_CPM")(x)
+        return nn.relu(x)
+
+
+class RTPoseVGG(nn.Module):
+    num_parts: int = 18   # COCO
+    num_limbs: int = 19
+    num_stages: int = 6
+    trunk: str = "vgg19"  # "vgg19" | "mobilenet" (reference get_model(trunk))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        trunk_cls = {"vgg19": VGG19Trunk, "mobilenet": MobileNetTrunk}[self.trunk]
+        feat = trunk_cls(dtype=self.dtype, name="trunk")(x, train)
         saved_for_loss = []
         inp = feat
         paf = heat = None

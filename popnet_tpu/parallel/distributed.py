@@ -8,21 +8,31 @@ slice and DCN across slices — no hand-written communication layer.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
+log = logging.getLogger(__name__)
+
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize multi-process JAX (no-op for single-process runs).
+    """Initialize multi-process JAX.
 
-    On TPU pods the arguments are auto-detected from the environment."""
+    With no arguments this probes the pod environment: a failure is
+    LOGGED and reported as False (single-process fallback), never
+    silently swallowed. With explicit arguments the caller asked for a
+    real pod init, so any failure propagates."""
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            return False  # single-process / already initialized
+        except Exception as e:
+            log.info("jax.distributed auto-init unavailable (%s); "
+                     "running single-process", e)
+            return False
         return True
+    # explicit request: do NOT mask failures
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -54,6 +54,8 @@ class Trainer:
         print_freq: int = 20,
         profile_epoch: int | None = None,
         seed: int = 0,
+        optimizer: str = "sgd",
+        scheduler=None,
     ):
         import jax.numpy as jnp
 
@@ -67,11 +69,14 @@ class Trainer:
         self.state = create_train_state(
             model, jax.random.PRNGKey(seed), jnp.zeros(sample_input_shape),
             learning_rate=learning_rate, momentum=momentum, weight_decay=weight_decay,
+            optimizer=optimizer,
         )
         self._make_step = make_step
         self.step_fn = jit_step_over_mesh(make_step, self.mesh)
         self.eval_loss_fn = jax.jit(make_eval_loss)
-        self.scheduler = ReduceLROnPlateau(learning_rate)
+        # default: the reference CPM recipe's plateau controller; A2J passes
+        # StepLR(10, 0.2) (reference: train_a2j_mpaug_new.py:444)
+        self.scheduler = scheduler or ReduceLROnPlateau(learning_rate)
         self.best_val = float("inf")
         self.epoch = 0
         self.history = []
@@ -108,7 +113,8 @@ class Trainer:
         losses = AverageMeter()
         n_dev = len(self.mesh.devices.ravel())
         for batch in dataset.iter_batches(batch_size, shuffle=False, drop_last=False):
-            n = int(np.asarray(batch["image"]).shape[0])
+            first = batch.get("image", next(iter(batch.values())))
+            n = int(np.asarray(first).shape[0])
             # a ragged tail batch can't shard over the mesh; score it on one
             # device via the plain jit
             if n % n_dev == 0:
@@ -193,5 +199,7 @@ class Trainer:
         if "lr" in meta:
             self.scheduler.lr = meta["lr"]
             self.scheduler.best = meta.get("scheduler_best")
+            if hasattr(self.scheduler, "epoch"):  # StepLR counts epochs
+                self.scheduler.epoch = self.epoch
             self.state = set_learning_rate(self.state, meta["lr"])
         return self

@@ -1,11 +1,36 @@
-"""ReduceLROnPlateau controller, torch-semantics.
+"""LR controllers, torch-semantics.
 
-Reference: train_rtpose_light3d_kdh3d.py:318-319 —
-ReduceLROnPlateau(mode='min', factor=0.8, patience=5, threshold=1e-4,
-threshold_mode='rel', cooldown=3, min_lr=0).
+- ReduceLROnPlateau (reference: train_rtpose_light3d_kdh3d.py:318-319 —
+  mode='min', factor=0.8, patience=5, threshold=1e-4, threshold_mode='rel',
+  cooldown=3, min_lr=0).
+- StepLR (reference: train_a2j_mpaug_new.py:444 —
+  lr_scheduler.StepLR(optimizer, step_size=10, gamma=0.2)).
 """
 
 from __future__ import annotations
+
+
+class StepLR:
+    """Epoch-counting decay: lr = lr0 * gamma^(epoch // step_size).
+
+    Exposes the same `.step(metric) -> lr` interface as ReduceLROnPlateau
+    (the metric is ignored); `.best` mirrors the plateau scheduler so the
+    Trainer's checkpoint metadata stays uniform."""
+
+    def __init__(self, lr: float, step_size: int = 10, gamma: float = 0.2):
+        self.lr0 = lr
+        self.lr = lr
+        self.step_size = step_size
+        self.gamma = gamma
+        self.epoch = 0
+        self.best = None
+
+    def step(self, metric: float) -> float:
+        if self.best is None or metric < self.best:
+            self.best = metric
+        self.epoch += 1
+        self.lr = self.lr0 * self.gamma ** (self.epoch // self.step_size)
+        return self.lr
 
 
 class ReduceLROnPlateau:

@@ -35,15 +35,34 @@ def sgd_nesterov(learning_rate=1.0, momentum=0.9, weight_decay=0.0):
     return optax.chain(*parts)
 
 
+def adam_l2(learning_rate=3.5e-4, weight_decay=0.0):
+    """torch.optim.Adam semantics: L2 weight decay folded into the gradient
+    BEFORE the Adam moments (not AdamW), as the A2J recipe uses
+    (reference: train_a2j_mpaug_new.py:443 Adam(lr=3.5e-4, wd=1e-4))."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam())
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
 def create_train_state(model, rng, sample_input, learning_rate=1.0, momentum=0.9,
-                       weight_decay=0.0, tx=None):
+                       weight_decay=0.0, tx=None, optimizer: str = "sgd"):
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     if tx is None:
-        tx = optax.inject_hyperparams(
-            sgd_nesterov, static_args=("momentum", "weight_decay")
-        )(learning_rate=learning_rate, momentum=momentum, weight_decay=weight_decay)
+        if optimizer == "sgd":
+            tx = optax.inject_hyperparams(
+                sgd_nesterov, static_args=("momentum", "weight_decay")
+            )(learning_rate=learning_rate, momentum=momentum, weight_decay=weight_decay)
+        elif optimizer == "adam":
+            tx = optax.inject_hyperparams(adam_l2, static_args=("weight_decay",))(
+                learning_rate=learning_rate, weight_decay=weight_decay
+            )
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
     )

@@ -47,8 +47,20 @@ def test_yolo_overfit_decodes_gt():
         )
     )(jnp.asarray(j2), jnp.asarray(j3), jnp.asarray(bb), jnp.asarray(w),
       jnp.asarray(valid), jnp.asarray(dr))
+    # render an informative depth image (blobs at the joints over a far
+    # background): background-cell conf suppression must be learnable from
+    # signal, not memorized from noise — a noise input makes the overfit
+    # seed-fragile (spurious high-conf neighbor cells win NMS)
+    imgs = np.full((B, 64, 64), 5.5, np.float32)
+    ys, xs = np.mgrid[0:64, 0:64]
+    for b in range(B):
+        for p in range(2):
+            for k in range(15):
+                m = (np.abs(xs - j2[b, p, k, 0]) < 3) & (np.abs(ys - j2[b, p, k, 1]) < 3)
+                imgs[b][m] = z[b, p, k]
+    imgs = (imgs - KDH3D_DEPTH.mean) / KDH3D_DEPTH.std
     batch = {
-        "image": jnp.asarray(rng.normal(0, 0.3, (B, 64, 64, 1)).astype(np.float32)),
+        "image": jnp.asarray(imgs[..., None]),
         "prior_map": enc["prior_map"],
         "prior_mask_conf": enc["prior_mask_conf"],
         "prior_mask_coord": enc["prior_mask_coord"],
