@@ -68,6 +68,33 @@ def load_coco_keypoints(annotation_json: str, min_keypoints: int = 5):
     return out
 
 
+def remove_illegal_joints(joints: np.ndarray, input_x: int, input_y: int):
+    """Mask joints outside the network input to the (-1, -1) hole
+    (reference: datasets_coco.py:221-229 remove_illegal_joint,
+    MAGIC_CONSTANT)."""
+    j = np.asarray(joints, dtype=np.float64).copy()
+    bad = (
+        (j[..., 0] >= input_x) | (j[..., 0] < 0)
+        | (j[..., 1] >= input_y) | (j[..., 1] < 0)
+    )
+    j[bad] = (-1.0, -1.0)
+    return j
+
+
+def mask_valid_area(image: np.ndarray, valid_area):
+    """Zero the padded region outside the valid area (reference:
+    lib/datasets/utils.py:36-47 — zeroes rows above and columns left of the
+    valid origin after letterbox padding). Works on (H, W[, C]) arrays."""
+    if valid_area is None:
+        return image
+    out = np.asarray(image).copy()
+    if valid_area[1] >= 1.0:
+        out[: int(valid_area[1])] = 0
+    if valid_area[0] >= 1.0:
+        out[:, : int(valid_area[0])] = 0
+    return out
+
+
 def coco_eval_results(humans_per_image, image_ids, scores_per_image):
     """Format rtpose-18 detections as COCO-17 keypoint results for
     pycocotools evaluation (reference: evaluate/coco_eval.py:243-281).

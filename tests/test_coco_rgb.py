@@ -58,3 +58,24 @@ def test_coco_decode_roundtrip():
         num_joints=COCO_NUM_JOINTS, limbs=COCO_LIMBS,
     )
     assert len(people) == 2
+
+
+def test_remove_illegal_joints_and_valid_area():
+    """Reference loader hygiene: OOB joints -> (-1,-1) hole; padded image
+    area zeroed (datasets_coco.py:221-229, utils.py:36-47)."""
+    import numpy as np
+
+    from popnet_tpu.data.coco import mask_valid_area, remove_illegal_joints
+
+    j = np.array([[[5.0, 5.0], [-1.0, 10.0], [400.0, 10.0], [10.0, 999.0]]])
+    out = remove_illegal_joints(j, 368, 368)
+    np.testing.assert_array_equal(out[0, 0], [5, 5])
+    for k in (1, 2, 3):
+        np.testing.assert_array_equal(out[0, k], [-1, -1])
+
+    img = np.ones((8, 8, 3))
+    m = mask_valid_area(img, (2.0, 3.0))
+    assert m[:3].sum() == 0 and m[:, :2].sum() == 0
+    assert m[3:, 2:].sum() == 5 * 6 * 3
+    # None valid area is a no-op
+    np.testing.assert_array_equal(mask_valid_area(img, None), img)

@@ -41,3 +41,57 @@ def test_itop_label_roundtrip():
     lab = itop_crop_labels(j, boxes, cz)
     back = itop_uncrop_keypoints(lab, boxes, cz)
     np.testing.assert_allclose(back, j, atol=1e-5)
+
+
+def test_itop_a2j_crop_dataset(tmp_path):
+    """ITOPA2JCropDataset: torso-centered crops + relative-z labels through
+    the dataset/batch API (reference recipe: itop_train_64.py:44-52)."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from popnet_tpu.core.camera import ITOP_INTRINSICS
+    from popnet_tpu.core.config import EncoderConfig, ITOP_DATASET
+    from popnet_tpu.data.a2j_crops import ITOPA2JCropDataset
+    from popnet_tpu.data.datasets import KDH3DDataset
+
+    h, w, K = 240, 320, 15
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "depth_maps"
+    os.makedirs(img_dir)
+    labels = {}
+    for i in range(4):
+        d = rng.uniform(2, 4.5, (h, w)).astype(np.float32)
+        name = f"i{i}.npy"
+        np.save(img_dir / name, d)
+        j2 = np.stack([rng.uniform(120, 200, K), rng.uniform(80, 160, K)], 1)
+        z = rng.uniform(2.5, 3.5, K)
+        j3 = np.stack([
+            (j2[:, 0] - ITOP_INTRINSICS.cx) / ITOP_INTRINSICS.fx * z,
+            (j2[:, 1] - ITOP_INTRINSICS.cy) / ITOP_INTRINSICS.fy * z, z], 1)
+        labels[name] = [{
+            "2d_joints": j2.tolist(), "3d_joints": j3.tolist(),
+            "bbox": [float(j2[:, 0].min()), float(j2[:, 1].min()),
+                     float(j2[:, 0].max()), float(j2[:, 1].max())],
+        }]
+    json.dump(labels, open(tmp_path / "labels.json", "w"))
+
+    inner = KDH3DDataset(
+        str(img_dir), str(tmp_path / "labels.json"),
+        ecfg=EncoderConfig(max_people=2), dcfg=ITOP_DATASET, seed=0,
+    )
+    ds = ITOPA2JCropDataset(inner, xy_thres=0.6, rand_shift=0, erase=False)
+    assert len(ds) == 4
+    batch = ds.get_batch([0, 1, 2])
+    assert batch["crops"].shape == (3, 288, 288, 1)
+    lbl = np.asarray(batch["labels"])
+    assert lbl.shape == (3, K, 3)
+    # relative z: torso joint (idx 8) must sit at ~0
+    assert np.all(np.abs(lbl[:, 8, 2]) < 1e-5)
+    # depth clamp: crop values bounded by (depth_thres - mean)/std around 0
+    crops = np.asarray(batch["crops"])
+    assert np.isfinite(crops).all()
+    # the prefetch iterator drives the same path
+    n = sum(b["crops"].shape[0] for b in ds.iter_batches(2, shuffle=False))
+    assert n == 4
