@@ -38,11 +38,13 @@ def main():
     n_images = int(os.environ.get("TRAIN_IMAGES", "256"))
     batches = [int(b) for b in os.environ.get("TRAIN_BATCH", "64,128").split(",")]
     dtype = jnp.bfloat16 if os.environ.get("TRAIN_DTYPE", "bf16") == "bf16" else jnp.float32
+    transfer = os.environ.get("TRAIN_TRANSFER", "u16mm")
 
     root = tempfile.mkdtemp(prefix="bench_train_")
     paths = synthetic_data.build(root, n_images=n_images)
     ecfg = EncoderConfig()
-    ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg, is_train=True)
+    ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg, is_train=True,
+                      transfer=transfer)
 
     model = PopNet(dtype=dtype)
     step = make_popnet_train_step()
@@ -86,12 +88,28 @@ def main():
         dt = time.perf_counter() - t0
         steps = n_images // batch_size
 
+        # device step alone (input pipeline excluded): one cached device
+        # batch stepped repeatedly, loss materialized as the hard sync
+        cached = next(iter(ds.iter_batches(batch_size, prefetch=0)))
+        state = trainer.state
+        step_iters = max(steps, 8)
+        state, logs = trainer.step_fn(state, cached)
+        float(logs["loss"])
+        t0 = time.perf_counter()
+        for _ in range(step_iters):
+            state, logs = trainer.step_fn(state, cached)
+        lval = float(logs["loss"])
+        dt_step = time.perf_counter() - t0
+        assert np.isfinite(lval)
+
         print(json.dumps({
             "metric": "popnet_train_throughput",
             "batch": batch_size,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "transfer": transfer,
             "frames_per_sec": round(steps * batch_size / dt, 1),
             "input_pipeline_fps": round(n / dt_data, 1),
+            "device_step_fps": round(step_iters * batch_size / dt_step, 1),
             "final_loss": round(float(loss), 4),
         }))
 

@@ -51,6 +51,7 @@ def _train_dataset(args, ecfg, dcfg):
     common = dict(
         ecfg=ecfg, dcfg=dcfg, pose_align=pose_align, with_prior=with_prior,
         pred_vis=args.pred_vis, seed=args.seed,
+        transfer=getattr(args, "transfer", "f32"),
     )
     if args.mp_aug:
         ann_files = sorted(
@@ -437,6 +438,10 @@ def build_parser():
     t.add_argument("--epochs", type=int, default=100)
     t.add_argument("--lr", type=float, default=1.0)
     t.add_argument("--momentum", type=float, default=0.9)
+    t.add_argument("--transfer", choices=["f32", "u16mm"], default="f32",
+                   help="host->device image transfer: f32 meters (exact) or "
+                        "uint16 millimeters (half the bytes; lossless for "
+                        "mm-native recordings)")
     t.add_argument("--weight-decay", type=float, default=0.0)
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")

@@ -83,6 +83,70 @@ def prepare_batch(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ecfg", "dcfg", "pose_align", "with_prior", "pred_vis", "encode"),
+)
+def prepare_batch_packed(
+    images,   # (B, H, W) f32 meters OR uint16 millimeters
+    meta,     # (B, L) f32: inv_mat(6) scale(1) flip(1) j2(P*K*2) j3(P*K*3) bb(P*4) pw(P) valid(P)
+    ecfg: EncoderConfig,
+    dcfg: DatasetConfig,
+    pose_align: bool = True,
+    with_prior: bool = True,
+    pred_vis: bool = False,
+    encode: bool = True,
+):
+    """prepare_batch over host-packed inputs: ONE image buffer + ONE meta
+    buffer. Through a serving tunnel every materialized array costs a fixed
+    ~28 ms round trip at ~45 MB/s (PARITY.md "input pipeline"), so transfer
+    COUNT and BYTES dominate the input pipeline; this entry cuts 8 host->device
+    transfers to 2, and uint16-millimeter images (lossless for the mm-native
+    Kinect recordings the reference parses, parse_raw_KDH3D_dataset.py:177-190)
+    halve the dominant image bytes."""
+    if images.dtype == jnp.uint16:
+        images = images.astype(jnp.float32) * jnp.float32(0.001)
+    P, K = ecfg.max_people, ecfg.num_joints
+    o = [0]
+
+    def take(n, shape):
+        flat = jax.lax.slice_in_dim(meta, o[0], o[0] + n, axis=1)
+        o[0] += n
+        return flat.reshape((-1,) + shape)
+
+    inv = take(6, (2, 3))
+    scales = take(1, ())
+    flips = take(1, ()) > 0.5
+    j2 = take(P * K * 2, (P, K, 2))
+    j3 = take(P * K * 3, (P, K, 3))
+    bb = take(P * 4, (P, 4))
+    pw = take(P, (P,))
+    vd = take(P, (P,)) > 0.5
+    return prepare_batch(
+        images, inv, scales, flips, j2, j3, bb, pw, vd, ecfg, dcfg,
+        pose_align=pose_align, with_prior=with_prior, pred_vis=pred_vis,
+        encode=encode,
+    )
+
+
+def _pack_meta(params_list, packed) -> np.ndarray:
+    """Host-side inverse of prepare_batch_packed's `take` layout (one f32 row
+    per sample; float32 cast here matches the dtype the unpacked f32 arrays
+    would have had on device, so packing is numerically a no-op)."""
+    rows = []
+    for p, (j2, j3, bb, pw, vd) in zip(params_list, packed):
+        rows.append(np.concatenate([
+            p.inv_mat.reshape(-1).astype(np.float32),
+            np.array([p.depth_scale, float(p.flip)], np.float32),
+            j2.reshape(-1).astype(np.float32),
+            j3.reshape(-1).astype(np.float32),
+            bb.reshape(-1).astype(np.float32),
+            pw.reshape(-1).astype(np.float32),
+            vd.reshape(-1).astype(np.float32),
+        ]))
+    return np.stack(rows)
+
+
 class _BaseDataset:
     def __init__(
         self,
@@ -98,6 +162,7 @@ class _BaseDataset:
         hflip: bool = False,
         render_max: float = 1.2,
         seed: int = 0,
+        transfer: str = "f32",
     ):
         self.img_dir = img_dir
         self.anno_dic, self.intrinsics = load_label_file(ann_file)
@@ -111,6 +176,9 @@ class _BaseDataset:
         self.augment = augment and is_train
         self.hflip = hflip
         self.render_max = render_max
+        if transfer not in ("f32", "u16mm"):
+            raise ValueError(f"transfer must be 'f32' or 'u16mm', got {transfer!r}")
+        self.transfer = transfer
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -154,18 +222,13 @@ class _BaseDataset:
             j2[~pk.valid] = OOB
             packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
 
-        images = jnp.asarray(np.stack(images))
-        inv = jnp.asarray(np.stack([p.inv_mat for p in params_list]))
-        scales = jnp.asarray(np.array([p.depth_scale for p in params_list], np.float32))
-        flips = jnp.asarray(np.array([p.flip for p in params_list]))
-        j2 = jnp.asarray(np.stack([p[0] for p in packed]))
-        j3 = jnp.asarray(np.stack([p[1] for p in packed]))
-        bb = jnp.asarray(np.stack([p[2] for p in packed]))
-        pw = jnp.asarray(np.stack([p[3] for p in packed]))
-        vd = jnp.asarray(np.stack([p[4] for p in packed]))
-
-        batch = prepare_batch(
-            images, inv, scales, flips, j2, j3, bb, pw, vd,
+        images = np.stack(images)
+        if self.transfer == "u16mm":
+            # uint16 millimeters: lossless for mm-native recordings, halves
+            # the dominant H2D bytes (device casts back to meters)
+            images = np.clip(np.round(images * 1000.0), 0, 65535).astype(np.uint16)
+        batch = prepare_batch_packed(
+            jnp.asarray(images), jnp.asarray(_pack_meta(params_list, packed)),
             self.ecfg, self.dcfg,
             pose_align=self.pose_align, with_prior=self.with_prior,
             pred_vis=self.pred_vis, encode=self.is_train,

@@ -117,3 +117,31 @@ def test_dataset_determinism(data):
         np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
     b3 = batch(321)
     assert not np.allclose(np.asarray(b1["image"]), np.asarray(b3["image"]))
+
+
+def test_transfer_u16mm_matches_f32(data):
+    """The packed uint16-millimeter transfer (PARITY.md input pipeline) must
+    match the f32 path to within the 0.5 mm quantization everywhere; labels
+    and encoded targets built from them stay essentially identical."""
+    kw = dict(ecfg=CFG, seed=7, augment=False)
+    a = KDH3DDataset(data["img_dir"], data["labels"], transfer="f32", **kw)
+    b = KDH3DDataset(data["img_dir"], data["labels"], transfer="u16mm", **kw)
+    ba = a.get_batch([0, 1])
+    bb = b.get_batch([0, 1])
+    assert set(ba) == set(bb)
+    # image: 0.5 mm quantization / depth_std(2 m) = 2.5e-4 in normalized units
+    np.testing.assert_allclose(
+        np.asarray(ba["image"]), np.asarray(bb["image"]), atol=3e-4
+    )
+    # label-derived targets are bit-identical (meta path is exact f32)
+    np.testing.assert_array_equal(
+        np.asarray(ba["prior_mask_coord"]), np.asarray(bb["prior_mask_coord"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ba["heatmaps"]), np.asarray(bb["heatmaps"]), atol=1e-6
+    )
+
+
+def test_transfer_rejects_unknown(data):
+    with pytest.raises(ValueError):
+        KDH3DDataset(data["img_dir"], data["labels"], transfer="fp8")
