@@ -1,0 +1,188 @@
+"""Serving pipelines: raw depth frames -> 3D human lists, as a library.
+
+The complete inference paths the eval drivers use (reference call stacks:
+evaluation_rtpose_light3d_kdh3d_mpreal_ablation.py:161-305 for Open-Pose+,
+evaluation_yolo_posenet_kdh3d_mpreal.py:139-251 for the prior decode), each
+compiled to ONE XLA program per batch:
+
+- openpose: preproc + RTPoseLight3D + peak NMS/refine + PAF scoring +
+  on-device greedy assembly + z readout + back-projection
+  (decode/openpose_infer.py).
+- popnet: preproc + PopNet + prior decode/NMS + align/z readout +
+  back-projection (decode/popnet_infer.py).
+
+Serving-tunnel discipline (measured in PARITY.md): every materialized array
+costs a fixed per-array round trip, so each batch's outputs are packed into
+ONE f32 buffer on device (`pack_outputs`) and unpacked with numpy views on
+the host (`unpack_outputs`). `serve_stream` keeps a small queue of batches
+in flight so the per-batch fetch overlaps device compute — the discipline
+behind the bench.py headline numbers.
+
+Multi-chip: pass a `jax.sharding.Mesh` and the pipeline jits with the batch
+axis sharded over it (params replicated, decode fully data-parallel — the
+inference mirror of train/steps.jit_step_over_mesh).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from popnet_tpu.core.camera import KDH3D_INTRINSICS, CameraIntrinsics
+from popnet_tpu.core.config import (
+    KDH3D_DEPTH,
+    DecodeConfig,
+    DepthStats,
+    EncoderConfig,
+)
+from popnet_tpu.ops.resize import resize_bilinear_cv2
+
+
+def preproc_depth(
+    raw_depth: jnp.ndarray,  # (B, H, W) meters
+    depth: DepthStats = KDH3D_DEPTH,
+    out_h: int = 224,
+    out_w: int = 224,
+) -> jnp.ndarray:
+    """clip -> cv2-parity bilinear resize -> normalize -> (B, out_h, out_w, 1).
+
+    One transposed resize call so the whole batch is a single gather
+    (reference preprocessing: clip [0, 6 m], (x - 3) / 2)."""
+    x = jnp.clip(raw_depth, 0.0, depth.max)
+    x = resize_bilinear_cv2(jnp.transpose(x, (1, 2, 0)), out_h, out_w)
+    x = jnp.transpose(x, (2, 0, 1))
+    return ((x - depth.mean) / depth.std)[..., None]
+
+
+def pack_outputs(*tensors) -> jnp.ndarray:
+    """Flatten per-batch outputs into ONE f32 buffer: a single D2H transfer."""
+    B = tensors[0].shape[0]
+    return jnp.concatenate(
+        [t.astype(jnp.float32).reshape(B, -1) for t in tensors], axis=1
+    )
+
+
+def unpack_outputs(buf: np.ndarray, max_people: int, num_joints: int):
+    """Host-side inverse of pack_outputs for the (joints2d, joints3d, conf,
+    counts/valid) layout both pipelines emit. Returns numpy views."""
+    buf = np.asarray(buf)
+    B = buf.shape[0]
+    Pp, K = max_people, num_joints
+    s1, s2, s3 = Pp * K * 2, Pp * K * 3, Pp * K
+    return {
+        "joints2d": buf[:, :s1].reshape(B, Pp, K, 2),
+        "joints3d": buf[:, s1 : s1 + s2].reshape(B, Pp, K, 3),
+        "conf": buf[:, s1 + s2 : s1 + s2 + s3].reshape(B, Pp, K),
+        "counts": buf[:, s1 + s2 + s3 :],
+    }
+
+
+def init_variables(model, input_hw=(224, 224), device=None):
+    """Initialize model variables on the host CPU (param init needs no
+    accelerator and skips a slow remote compile), then put them on `device`
+    (default: the first addressable device)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *input_hw, 1), jnp.float32),
+            train=False,
+        )
+    return jax.device_put(variables, device or jax.devices()[0])
+
+
+def _maybe_shard(fn, mesh: Mesh | None):
+    if mesh is None:
+        return jax.jit(fn)
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(fn, in_shardings=spec, out_shardings=spec)
+
+
+def build_openpose_pipeline(
+    variables=None,
+    dtype=jnp.bfloat16,
+    ecfg: EncoderConfig = EncoderConfig(),
+    dcfg: DecodeConfig = DecodeConfig(),
+    depth: DepthStats = KDH3D_DEPTH,
+    cam: CameraIntrinsics = KDH3D_INTRINSICS,
+    mesh: Mesh | None = None,
+    stage: str = "full",
+):
+    """Open-Pose+ serving fn: (B, H, W) raw depth -> (B, L) packed buffer.
+
+    stage="cnn" truncates after the CNN (packing per-image reductions under
+    the same drain discipline) — benchmarking aid to attribute time between
+    the CNN and the decode + human-tensor D2H."""
+    from popnet_tpu.decode.openpose_infer import openpose_decode
+    from popnet_tpu.models import RTPoseLight3D
+
+    model = RTPoseLight3D(dtype=dtype)
+    if variables is None:
+        variables = init_variables(model)
+
+    def pipeline(raw_depth):
+        x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
+        (paf, heat, z), _ = model.apply(variables, x, train=False)
+        if stage == "cnn":
+            return pack_outputs(heat.max(axis=(1, 2)), paf.mean(axis=(1, 2)))
+        out = openpose_decode(
+            heat.astype(jnp.float32), paf.astype(jnp.float32),
+            z.astype(jnp.float32), x.astype(jnp.float32),
+            ecfg, dcfg, depth, cam,
+        )
+        return pack_outputs(out["joints2d"], out["joints3d"], out["conf"],
+                            out["counts"].astype(jnp.float32))
+
+    return _maybe_shard(pipeline, mesh)
+
+
+def build_popnet_pipeline(
+    variables=None,
+    dtype=jnp.bfloat16,
+    ecfg: EncoderConfig = EncoderConfig(),
+    dcfg: DecodeConfig = DecodeConfig(),
+    depth: DepthStats = KDH3D_DEPTH,
+    cam: CameraIntrinsics = KDH3D_INTRINSICS,
+    mesh: Mesh | None = None,
+    readout: str = "gated",
+):
+    """PoP-Net serving fn: (B, H, W) raw depth -> (B, L) packed buffer."""
+    from popnet_tpu.decode.popnet_infer import popnet_decode
+    from popnet_tpu.models import PopNet
+
+    model = PopNet(dtype=dtype)
+    if variables is None:
+        variables = init_variables(model)
+
+    def pipeline(raw_depth):
+        x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
+        (heat, z, align, prior), _ = model.apply(variables, x, train=False)
+        out = popnet_decode(
+            heat.astype(jnp.float32), z.astype(jnp.float32),
+            align.astype(jnp.float32), prior.astype(jnp.float32),
+            ecfg, dcfg, depth, cam, readout=readout,
+        )
+        return pack_outputs(out["joints2d"], out["joints3d"], out["conf"],
+                            out["valid"].astype(jnp.float32))
+
+    return _maybe_shard(pipeline, mesh)
+
+
+def serve_stream(pipeline, batches, queue_depth: int = 3):
+    """Run `pipeline` over an iterable of raw-depth batches, keeping up to
+    `queue_depth` batches in flight; yields each batch's packed buffer as a
+    host numpy array IN ORDER. np.asarray is the synchronization point (on
+    some backends block_until_ready does not prove execution; host
+    materialization does)."""
+    q: deque = deque()
+    for b in batches:
+        q.append(pipeline(b))
+        if len(q) > queue_depth:
+            yield np.asarray(q.popleft())
+    while q:
+        yield np.asarray(q.popleft())
