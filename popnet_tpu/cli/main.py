@@ -40,6 +40,8 @@ def _build_model(name, dtype=None):
         return YoloPoseNet(dtype=dtype)
     if name == "a2j":
         return A2J(dtype=dtype)
+    if name == "rtpose_vgg":
+        raise ValueError("rtpose_vgg trains with --dataset coco")
     raise ValueError(name)
 
 
@@ -85,6 +87,8 @@ def cmd_train(args):
         make_popnet_train_step, make_rtpose_train_step, make_yolo_train_step,
     )
 
+    if args.dataset == "coco":
+        return _train_coco(args)
     dcfg = _dataset_cfg(args.dataset)
     ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
     model = _build_model(args.model)
@@ -151,6 +155,52 @@ def cmd_train(args):
         learning_rate=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay,
         out_dir=args.out_dir, seed=args.seed,
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size)
+
+
+def _train_coco(args):
+    """COCO RGB recipe: CocoKeypointsDataset -> rtpose_vgg -> 6-stage MSE.
+
+    Data layout: <data-root>/images/*.jpg + --labels pointing at a
+    person_keypoints_*.json (and optionally --val-labels). The reference has
+    no COCO train entry script; this CLI completes that path."""
+    from popnet_tpu.data.coco_dataset import CocoKeypointsDataset
+    from popnet_tpu.losses import rtpose_light_loss
+    from popnet_tpu.models.rtpose_vgg import RTPoseVGG
+    from popnet_tpu.train.loop import Trainer
+    from popnet_tpu.train.steps import make_rtpose_vgg_train_step
+
+    if args.model != "rtpose_vgg":
+        raise SystemExit("--dataset coco trains --model rtpose_vgg")
+    model = RTPoseVGG(trunk=args.trunk)
+    step = make_rtpose_vgg_train_step()
+
+    def eval_loss(state, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        _, saved = state.apply_fn(variables, batch["image"], train=False)
+        loss, _ = rtpose_light_loss(saved, batch["heat"], batch["paf"], 6)
+        return loss
+
+    def make_ds(ann, is_train):
+        return CocoKeypointsDataset(
+            os.path.join(args.data_root, "images"),
+            os.path.join(args.data_root, ann),
+            input_y=args.input_size, input_x=args.input_size,
+            is_train=is_train, seed=args.seed,
+        )
+
+    train_ds = make_ds(args.labels, True)
+    val_ds = make_ds(args.val_labels, False) if args.val_labels else None
+    trainer = Trainer(
+        model, step, eval_loss,
+        sample_input_shape=(1, args.input_size, args.input_size, 3),
+        learning_rate=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, out_dir=args.out_dir, seed=args.seed,
     )
     if args.resume:
         trainer.resume()
@@ -423,9 +473,10 @@ def build_parser():
     def common(sp):
         sp.add_argument("--data-root", required=True)
         sp.add_argument("--labels", default="labels.json")
-        sp.add_argument("--dataset", choices=["kdh3d", "itop"], default="kdh3d")
+        sp.add_argument("--dataset", choices=["kdh3d", "itop", "coco"],
+                        default="kdh3d")
         sp.add_argument(
-            "--model", choices=["popnet", "openpose", "yolo", "a2j"],
+            "--model", choices=["popnet", "openpose", "yolo", "a2j", "rtpose_vgg"],
             default="popnet",
         )
         sp.add_argument("--input-size", type=int, default=224)
@@ -443,6 +494,8 @@ def build_parser():
                         "uint16 millimeters (half the bytes; lossless for "
                         "mm-native recordings)")
     t.add_argument("--weight-decay", type=float, default=0.0)
+    t.add_argument("--trunk", choices=["vgg19", "mobilenet"], default="vgg19",
+                   help="rtpose_vgg trunk (COCO RGB recipe)")
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")
     t.add_argument("--mp-label-prefix", default="labels_loc")

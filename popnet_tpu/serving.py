@@ -83,6 +83,69 @@ def unpack_outputs(buf: np.ndarray, max_people: int, num_joints: int):
     }
 
 
+# ---- q16 packing: fixed-point uint16 wire format -------------------------
+#
+# The tunnel charges per BYTE (plus a fixed per-array cost), so the wire
+# format matters as much as the array count. The q16 layout transmits
+# (joints2d, z, conf, counts) as uint16 fixed point — joints at 1/16 px,
+# depth at 1/4096 m, confidence at 1/512 — and the host reconstructs
+# joints3d with the same pinhole expression the device would have used.
+# Bytes/frame: f32 (2+3+1)*P*K*4 + 4 vs q16 (2+1+1)*P*K*2 + 2: a 3.0x cut.
+# Quantization error (<=0.03 px / <=0.12 mm) is far below the benchmark's
+# PCK thresholds; exact f32 remains the default for eval parity paths.
+
+_Q16_OFF = 2.0          # shifts the -1 hole sentinel into range
+_Q16_XY = 16.0          # 1/16 px; covers up to 4093 px
+_Q16_Z = 4096.0         # 1/4096 m; covers up to 14 m
+_Q16_CONF = 512.0       # 1/512; covers scores up to 125
+
+
+def pack_outputs_q16(joints2d, z, conf, counts) -> jnp.ndarray:
+    """(B,P,K,2), (B,P,K), (B,P,K), (B,) -> (B, L) uint16 wire buffer."""
+    B = joints2d.shape[0]
+
+    def q(t, scale):
+        t = (t.astype(jnp.float32) + _Q16_OFF) * scale
+        return jnp.clip(jnp.round(t), 0, 65535).astype(jnp.uint16).reshape(B, -1)
+
+    return jnp.concatenate(
+        [
+            q(joints2d, _Q16_XY),
+            q(z, _Q16_Z),
+            q(conf, _Q16_CONF),
+            counts.astype(jnp.uint16).reshape(B, -1),
+        ],
+        axis=1,
+    )
+
+
+def unpack_outputs_q16(buf: np.ndarray, max_people: int, num_joints: int,
+                       cam: CameraIntrinsics = KDH3D_INTRINSICS):
+    """Host inverse of pack_outputs_q16: dequantize and back-project.
+
+    Returns the same dict contract as unpack_outputs (joints2d, joints3d,
+    conf, counts); hole joints come back as exactly (-1, -1) / z = -1."""
+    buf = np.asarray(buf)
+    B = buf.shape[0]
+    Pp, K = max_people, num_joints
+    s1, s2, s3 = Pp * K * 2, Pp * K, Pp * K
+
+    def dq(a, scale):
+        return a.astype(np.float32) / np.float32(scale) - np.float32(_Q16_OFF)
+
+    j2 = dq(buf[:, :s1], _Q16_XY).reshape(B, Pp, K, 2)
+    z = dq(buf[:, s1 : s1 + s2], _Q16_Z).reshape(B, Pp, K)
+    conf = dq(buf[:, s1 + s2 : s1 + s2 + s3], _Q16_CONF).reshape(B, Pp, K)
+    x = (j2[..., 0] - np.float32(cam.cx)) / np.float32(cam.fx) * z
+    y = (j2[..., 1] - np.float32(cam.cy)) / np.float32(cam.fy) * z
+    return {
+        "joints2d": j2,
+        "joints3d": np.stack([x, y, z], axis=-1),
+        "conf": conf,
+        "counts": buf[:, s1 + s2 + s3 :].astype(np.int32),
+    }
+
+
 def init_variables(model, input_hw=(224, 224), device=None):
     """Initialize model variables on the host CPU (param init needs no
     accelerator and skips a slow remote compile), then put them on `device`
@@ -112,12 +175,14 @@ def build_openpose_pipeline(
     cam: CameraIntrinsics = KDH3D_INTRINSICS,
     mesh: Mesh | None = None,
     stage: str = "full",
+    pack: str = "f32",
 ):
     """Open-Pose+ serving fn: (B, H, W) raw depth -> (B, L) packed buffer.
 
     stage="cnn" truncates after the CNN (packing per-image reductions under
     the same drain discipline) — benchmarking aid to attribute time between
-    the CNN and the decode + human-tensor D2H."""
+    the CNN and the decode + human-tensor D2H. pack="q16" emits the
+    fixed-point uint16 wire buffer (pack_outputs_q16) instead of f32."""
     from popnet_tpu.decode.openpose_infer import openpose_decode
     from popnet_tpu.models import RTPoseLight3D
 
@@ -135,6 +200,11 @@ def build_openpose_pipeline(
             z.astype(jnp.float32), x.astype(jnp.float32),
             ecfg, dcfg, depth, cam,
         )
+        if pack == "q16":
+            return pack_outputs_q16(
+                out["joints2d"], out["joints3d"][..., 2], out["conf"],
+                out["counts"],
+            )
         return pack_outputs(out["joints2d"], out["joints3d"], out["conf"],
                             out["counts"].astype(jnp.float32))
 
@@ -150,6 +220,7 @@ def build_popnet_pipeline(
     cam: CameraIntrinsics = KDH3D_INTRINSICS,
     mesh: Mesh | None = None,
     readout: str = "gated",
+    pack: str = "f32",
 ):
     """PoP-Net serving fn: (B, H, W) raw depth -> (B, L) packed buffer."""
     from popnet_tpu.decode.popnet_infer import popnet_decode
@@ -167,6 +238,11 @@ def build_popnet_pipeline(
             align.astype(jnp.float32), prior.astype(jnp.float32),
             ecfg, dcfg, depth, cam, readout=readout,
         )
+        if pack == "q16":
+            return pack_outputs_q16(
+                out["joints2d"], out["joints3d"][..., 2], out["conf"],
+                out["valid"],
+            )
         return pack_outputs(out["joints2d"], out["joints3d"], out["conf"],
                             out["valid"].astype(jnp.float32))
 

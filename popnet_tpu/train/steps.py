@@ -14,6 +14,7 @@ import jax
 from popnet_tpu.losses import (
     popnet_loss,
     rtpose_light3d_loss_fgweight,
+    rtpose_light_loss,
     yolo_loss,
 )
 from popnet_tpu.parallel.mesh import batch_sharding, replicated_sharding
@@ -40,6 +41,32 @@ def make_rtpose_train_step(num_stages: int = 2):
             loss, logs = rtpose_light3d_loss_fgweight(
                 saved, batch["heatmaps"], batch["pafs"], batch["zmaps"],
                 batch["fg_masks_z"], num_stages,
+            )
+            return loss, (logs, new_stats)
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        logs["loss"] = loss
+        return state, logs
+
+    return step
+
+
+def make_rtpose_vgg_train_step(num_stages: int = 6):
+    """COCO RGB 6-stage CPM step: per-stage heat + PAF MSE. The reference
+    ships CocoKeypoints + rtpose_vgg but no COCO train entry
+    (only the test_dataloader.py smoke); this completes the recipe with the
+    classic rtpose objective over data/coco_dataset.py batches."""
+
+    def step(state, batch):
+        def loss_fn(params):
+            (_, saved), new_stats = _apply(state, params, batch["image"])
+            loss, logs = rtpose_light_loss(
+                saved, batch["heat"], batch["paf"], num_stages
             )
             return loss, (logs, new_stats)
 

@@ -63,6 +63,34 @@ def test_popnet_pipeline_and_stream(frames):
     assert out["counts"].shape == (8, DCFG.max_people)  # valid mask per row
 
 
+def test_q16_pack_matches_f32(frames):
+    """The uint16 wire format reconstructs the f32 outputs within its
+    documented quantization (<=1/32 px, <=1/8192 m, <=1/1024 conf)."""
+    from popnet_tpu.models import RTPoseLight3D
+    from popnet_tpu.serving import unpack_outputs_q16
+
+    variables = init_variables(RTPoseLight3D(dtype=jnp.float32))
+    f32 = build_openpose_pipeline(variables, dtype=jnp.float32)
+    q16 = build_openpose_pipeline(variables, dtype=jnp.float32, pack="q16")
+
+    a = unpack_outputs(np.asarray(f32(frames)), DCFG.max_people, ECFG.num_joints)
+    bbuf = np.asarray(q16(frames))
+    assert bbuf.dtype == np.uint16
+    b = unpack_outputs_q16(bbuf, DCFG.max_people, ECFG.num_joints)
+
+    np.testing.assert_allclose(b["joints2d"], a["joints2d"], atol=1 / 32 + 1e-6)
+    np.testing.assert_allclose(b["conf"], a["conf"], atol=1 / 1024 + 1e-6)
+    z_a = a["joints3d"][..., 2]
+    z_b = b["joints3d"][..., 2]
+    np.testing.assert_allclose(z_b, z_a, atol=1 / 8192 + 1e-6)
+    # back-projected X/Y differ by (quantization in x2 and z) * lever arms
+    np.testing.assert_allclose(b["joints3d"], a["joints3d"], atol=5e-3)
+    np.testing.assert_array_equal(b["counts"][:, 0], a["counts"][:, 0])
+    # hole sentinels survive quantization exactly
+    holes = a["joints2d"][..., 0] == -1.0
+    assert (b["joints2d"][..., 0][holes] == -1.0).all()
+
+
 def test_cnn_stage_truncation(frames):
     pipe = build_openpose_pipeline(dtype=jnp.float32, stage="cnn")
     buf = np.asarray(pipe(frames))
