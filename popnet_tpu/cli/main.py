@@ -349,8 +349,11 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
     from popnet_tpu.train.checkpoint import restore_checkpoint
     from popnet_tpu.train.state import create_train_state
 
-    if not args.yolo_ckpt:
-        raise SystemExit("evaluate --model a2j requires --yolo-ckpt (stage-1 detector)")
+    if not args.yolo_ckpt and not args.gt_boxes:
+        raise SystemExit(
+            "evaluate --model a2j requires --yolo-ckpt (stage-1 detector) "
+            "or --gt-boxes (label-box ablation)"
+        )
 
     a2j = _build_model("a2j")
     a2j_state = create_train_state(
@@ -358,12 +361,14 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
     )
     if args.ckpt:
         a2j_state, _, _ = restore_checkpoint(args.ckpt, a2j_state)
-    yolo = _build_model("yolo")
-    yolo_state = create_train_state(
-        yolo, jax.random.PRNGKey(0),
-        jnp.zeros((1, args.input_size, args.input_size, 1)),
-    )
-    yolo_state, _, _ = restore_checkpoint(args.yolo_ckpt, yolo_state)
+    yolo = yolo_state = None
+    if args.yolo_ckpt:
+        yolo = _build_model("yolo")
+        yolo_state = create_train_state(
+            yolo, jax.random.PRNGKey(0),
+            jnp.zeros((1, args.input_size, args.input_size, 1)),
+        )
+        yolo_state, _, _ = restore_checkpoint(args.yolo_ckpt, yolo_state)
 
     dataset = MPRealDataset(
         os.path.join(args.data_root, "depth_maps"),
@@ -382,7 +387,10 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
             v["batch_stats"] = a2j_state.batch_stats
         return a2j.apply(v, crops, train=False)
 
-    data = run_yolo_a2j_eval(infer_yolo, infer_a2j, dataset, args.batch_size, ecfg, decfg)
+    data = run_yolo_a2j_eval(
+        infer_yolo if yolo_state is not None else None, infer_a2j, dataset,
+        args.batch_size, ecfg, decfg, gt_boxes=args.gt_boxes,
+    )
     os.makedirs(args.out_dir, exist_ok=True)
     out_json = os.path.join(args.out_dir, "a2j_results.json")
     with open(out_json, "w") as f:
@@ -510,6 +518,11 @@ def build_parser():
     e.add_argument(
         "--yolo-ckpt", default=None,
         help="stage-1 detector checkpoint for --model a2j (two-stage Yolo-A2J)",
+    )
+    e.add_argument(
+        "--gt-boxes", action="store_true",
+        help="--model a2j: crop from the labels' person bboxes instead of "
+             "detector boxes (a2j_test_gt_box ablation)",
     )
     e.add_argument(
         "--readout", choices=["gated", "universe"], default="gated",

@@ -54,6 +54,28 @@ def stage1_detect_boxes(
     return np.asarray(image_idx, np.int32), np.asarray(boxes, np.float32)
 
 
+def stage1_gt_boxes(dataset, margin_scale: float = 1.0):
+    """GT-box stage 1 (reference: A2J_experiments/a2j_test_gt_box.py):
+    crops come from the labels' person bboxes instead of the detector —
+    the A2J-in-isolation ablation row."""
+    image_idx, boxes = [], []
+    for i in range(len(dataset)):
+        _, anns = dataset.load_composited(i)
+        for a in anns:
+            if "bbox" not in a:
+                continue
+            x0, y0, x1, y1 = np.asarray(a["bbox"][:4], np.float64)
+            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            w2 = (x1 - x0) / 2 * margin_scale
+            h2 = (y1 - y0) / 2 * margin_scale
+            image_idx.append(i)
+            boxes.append([cx - w2, cy - h2, cx + w2, cy + h2])
+    return (
+        np.asarray(image_idx, np.int32),
+        np.asarray(boxes, np.float32).reshape(-1, 4),
+    )
+
+
 def run_yolo_a2j_eval(
     infer_yolo,
     infer_a2j,
@@ -62,17 +84,23 @@ def run_yolo_a2j_eval(
     ecfg: EncoderConfig = EncoderConfig(),
     dcfg: DecodeConfig = DecodeConfig(),
     crop_batch: int = 32,
+    gt_boxes: bool = False,
 ):
     """Full two-stage inference over an eval dataset -> benchmark eval_data.
 
     `infer_a2j(crops (N, 288, 288, 1))` returns (cls, reg, depth) heads.
+    With gt_boxes=True stage 1 reads the labels' bboxes (a2j_test_gt_box)
+    and `infer_yolo` may be None.
     """
     cam = dataset.intrinsics or dataset.dcfg.intrinsics
     depth = dataset.dcfg.depth
 
-    image_idx, boxes = stage1_detect_boxes(
-        infer_yolo, dataset, batch_size, ecfg, dcfg
-    )
+    if gt_boxes:
+        image_idx, boxes = stage1_gt_boxes(dataset)
+    else:
+        image_idx, boxes = stage1_detect_boxes(
+            infer_yolo, dataset, batch_size, ecfg, dcfg
+        )
 
     all_anchors = jnp.asarray(
         shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),

@@ -153,3 +153,52 @@ def test_two_stage_driver_oracle(dataset):
     )
     assert res["pck2d"] > 0.95
     assert res["pck3d"] > 0.9
+
+
+def test_gt_box_driver_oracle(dataset):
+    """GT-box stage 1 (a2j_test_gt_box ablation): label boxes + A2J oracle
+    recover near-perfect poses with no detector at all."""
+    from popnet_tpu.cli.evaluate import evaluate_predictions
+
+    idx_all, boxes_all = yolo_a2j.stage1_gt_boxes(dataset)
+    # person index within each image, in stage1_gt_boxes emission order
+    person_of = []
+    seen: dict = {}
+    for i in idx_all:
+        seen[int(i)] = seen.get(int(i), -1) + 1
+        person_of.append(seen[int(i)])
+
+    anchors = shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors())
+    consumed = {"n": 0}
+
+    def infer_a2j(crops):
+        n = crops.shape[0]
+        s = consumed["n"]
+        consumed["n"] += n
+        cls = np.full((n, anchors.shape[0], 15), -20.0, np.float32)
+        reg = np.zeros((n, anchors.shape[0], 15, 2), np.float32)
+        dep = np.zeros((n, anchors.shape[0], 15), np.float32)
+        for m in range(n):
+            img_i = int(idx_all[s + m])
+            ann = dataset.anno_dic[dataset.ids[img_i]][person_of[s + m]]
+            j2 = np.asarray(ann["2d_joints"])
+            z = np.asarray(ann["3d_joints"])[:, 2]
+            lab = crop_labels(j2[None], z[None], boxes_all[s + m][None])[0]
+            for k in range(15):
+                a = int(np.argmin(np.sum((anchors - lab[k, :2]) ** 2, 1)))
+                cls[m, a, k] = 20.0
+                reg[m, a, k] = lab[k, :2] - anchors[a]
+                dep[m, a, k] = lab[k, 2]
+        return jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(dep)
+
+    data = yolo_a2j.run_yolo_a2j_eval(
+        None, infer_a2j, dataset, batch_size=3, ecfg=ECFG,
+        dcfg=DecodeConfig(), gt_boxes=True,
+    )
+    res = evaluate_predictions(
+        data["human_pred_set_2d"], data["human_pred_set_3d"],
+        data["human_pred_set_part_conf"], data["human_gt_set_2d"],
+        data["human_gt_set_3d"], verbose=False,
+    )
+    assert res["pck2d"] > 0.95
+    assert res["pck3d"] > 0.9
