@@ -42,6 +42,8 @@ def _build_model(name, dtype=None):
         return A2J(dtype=dtype)
     if name == "rtpose_vgg":
         raise ValueError("rtpose_vgg trains with --dataset coco")
+    if name == "popnet_rgb":
+        raise ValueError("popnet_rgb trains with --dataset mpii")
     raise ValueError(name)
 
 
@@ -89,6 +91,8 @@ def cmd_train(args):
 
     if args.dataset == "coco":
         return _train_coco(args)
+    if args.dataset == "mpii":
+        return _train_mpii(args)
     dcfg = _dataset_cfg(args.dataset)
     ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
     model = _build_model(args.model)
@@ -188,6 +192,55 @@ def _train_coco(args):
 
     def make_ds(ann, is_train):
         return CocoKeypointsDataset(
+            os.path.join(args.data_root, "images"),
+            os.path.join(args.data_root, ann),
+            input_y=args.input_size, input_x=args.input_size,
+            is_train=is_train, seed=args.seed,
+        )
+
+    train_ds = make_ds(args.labels, True)
+    val_ds = make_ds(args.val_labels, False) if args.val_labels else None
+    trainer = Trainer(
+        model, step, eval_loss,
+        sample_input_shape=(1, args.input_size, args.input_size, 3),
+        learning_rate=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, out_dir=args.out_dir, seed=args.seed,
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size)
+
+
+def _train_mpii(args):
+    """MPII RGB PoP-Net recipe: MPIIKeypointsDataset -> PopNetRGB ->
+    pop_net_rgb loss. Data layout: <data-root>/images/*.jpg + --labels
+    pointing at an MPII annotation JSON (standard release list format)."""
+    from popnet_tpu.data.mpii import MPII_NUM_JOINTS, MPIIKeypointsDataset
+    from popnet_tpu.losses import popnet_rgb_loss
+    from popnet_tpu.models.popnet import PopNetRGB
+    from popnet_tpu.train.loop import Trainer
+    from popnet_tpu.train.steps import make_popnet_rgb_train_step
+
+    if args.model != "popnet_rgb":
+        raise SystemExit("--dataset mpii trains --model popnet_rgb")
+    model = PopNetRGB(num_parts=MPII_NUM_JOINTS)
+    step = make_popnet_rgb_train_step(num_joints=MPII_NUM_JOINTS)
+
+    def eval_loss(state, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        _, saved = state.apply_fn(variables, batch["image"], train=False)
+        loss, _ = popnet_rgb_loss(
+            saved, batch["heatmaps"], batch["align_maps"],
+            batch["fg_masks_align"], batch["prior_map"],
+            batch["prior_mask_conf"], batch["prior_mask_coord"],
+            MPII_NUM_JOINTS,
+        )
+        return loss
+
+    def make_ds(ann, is_train):
+        return MPIIKeypointsDataset(
             os.path.join(args.data_root, "images"),
             os.path.join(args.data_root, ann),
             input_y=args.input_size, input_x=args.input_size,
@@ -481,10 +534,12 @@ def build_parser():
     def common(sp):
         sp.add_argument("--data-root", required=True)
         sp.add_argument("--labels", default="labels.json")
-        sp.add_argument("--dataset", choices=["kdh3d", "itop", "coco"],
+        sp.add_argument("--dataset", choices=["kdh3d", "itop", "coco", "mpii"],
                         default="kdh3d")
         sp.add_argument(
-            "--model", choices=["popnet", "openpose", "yolo", "a2j", "rtpose_vgg"],
+            "--model",
+            choices=["popnet", "openpose", "yolo", "a2j", "rtpose_vgg",
+                     "popnet_rgb"],
             default="popnet",
         )
         sp.add_argument("--input-size", type=int, default=224)

@@ -193,3 +193,166 @@ def prepare_mpii_labels_from_mat(mat_path: str, train_only: bool = True):
                 }
             )
     return out
+
+
+# ---- batched MPII training dataset (PopNetRGB targets) -------------------
+
+
+def mpii_anchors(input_y: int = 368, stride_prior: int = 16):
+    """Reference default anchors (datasets_mpii_new.py:235-238):
+    anchor_h = input_y/stride_prior - 3; [(h/2, h/4), (h, h/2)] as (w, h)."""
+    h = input_y / stride_prior - 3
+    return ((h / 2, h / 4), (h, h / 2))
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("ecfg",))
+def encode_mpii_batch(joints2d, vis, valid, bboxes, weights, ecfg):
+    """One device program painting a whole batch of MPII RGB targets
+    (reference: datasets_mpii_new.py:413-517 get_ground_truth):
+
+    - heatmaps gate on in-bounds coords only (occluded joints still paint);
+    - align maps additionally require visibility (invisible joints are
+      pushed out of bounds before encoding);
+    - prior targets carry [box, conf, K x (x, y, VIS)] — visibility rides
+      the z slot of the depth encoder with identity normalization.
+    Returns dict(heat, align_maps, fg_masks_align, prior_map,
+    prior_mask_conf, prior_mask_coord, prior_weight_map).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from popnet_tpu.core.config import DepthStats
+    from popnet_tpu.ops import encoders
+
+    ident = DepthStats(mean=0.0, std=1.0, max=1.0)
+
+    def one(j2, v, val, bb, w):
+        heat = encoders.encode_heatmaps(j2, val, ecfg)
+        j2_vis = jnp.where(v[..., None] > 0, j2, -1e6)
+        amap, afg = encoders.encode_alignmaps(j2_vis, val, ecfg)
+        prior, mconf, mcoord, wmap = encoders.encode_prior_targets(
+            bb, j2, v, w, val, ecfg, ident
+        )
+        return {
+            "heatmaps": heat, "align_maps": amap, "fg_masks_align": afg,
+            "prior_map": prior, "prior_mask_conf": mconf,
+            "prior_mask_coord": mcoord, "prior_weight_map": wmap,
+        }
+
+    return jax.vmap(one)(joints2d, vis, valid, bboxes, weights)
+
+
+class MPIIKeypointsDataset:
+    """Batched MPII RGB dataset for PopNetRGB training
+    (reference: datasets_mpii_new.py:203-517 MPII_Keypoints).
+
+    Host: image IO + letterbox to a static canvas + imagenet normalization
+    (the reference's BGR->RGB /255 Normalize(rgb_mean, rgb_std) ==
+    data/preprocessing.vgg_preprocess); device: one jitted program encodes
+    the whole batch's heat / align / prior-with-visibility targets.
+    """
+
+    def __init__(self, img_dir: str, ann_file: str, input_y: int = 368,
+                 input_x: int = 368, stride: int = 8, stride_prior: int = 16,
+                 align_radius: int = 3, max_people: int = 8,
+                 is_train: bool = True, hflip: bool = True, seed: int = 0,
+                 border_margin: int = 3):
+        from popnet_tpu.core.config import EncoderConfig
+
+        self.img_dir = img_dir
+        self.anno_dic = prepare_mpii_labels(ann_file, istrain=True)
+        self.ids = list(self.anno_dic.keys())
+        self.ecfg = EncoderConfig(
+            input_x=input_x, input_y=input_y, stride=stride,
+            stride_align=stride, stride_prior=stride_prior,
+            align_radius=align_radius, num_joints=MPII_NUM_JOINTS,
+            num_limbs=len(MPII_LIMBS),
+            anchors=mpii_anchors(input_y, stride_prior),
+            max_people=max_people,
+        )
+        self.is_train = is_train
+        self.hflip = hflip and is_train
+        self.border_margin = border_margin
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load_one(self, index: int):
+        import cv2
+
+        fname = self.ids[index]
+        img = cv2.imread(f"{self.img_dir}/{fname}")
+        if img is None:
+            raise FileNotFoundError(f"{self.img_dir}/{fname}")
+        h, w = img.shape[:2]
+        anns = assign_visibility_from_border(
+            self.anno_dic[fname], h, w, margin=self.border_margin,
+            intersect_gt=True,
+        )
+        scale = min(self.ecfg.input_y / h, self.ecfg.input_x / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        canvas = np.zeros((self.ecfg.input_y, self.ecfg.input_x, 3), img.dtype)
+        canvas[:nh, :nw] = cv2.resize(img, (nw, nh))
+
+        P, K = self.ecfg.max_people, MPII_NUM_JOINTS
+        joints = np.full((P, K, 2), -1.0)
+        vis = np.zeros((P, K), np.float32)
+        valid = np.zeros(P, bool)
+        boxes = np.zeros((P, 4), np.float32)
+        weights = np.ones(P, np.float32)
+        flip = self.hflip and self.rng.random() < 0.5
+        for p, ann in enumerate(anns[:P]):
+            v = (np.asarray(ann["visible_joints"]) != 0).astype(np.float32)
+            if v.sum() == 0:
+                continue  # reference skips people with no visible joints
+            j = np.asarray(ann["2d_joints"], np.float64) * scale
+            if flip:
+                j[:, 0] = self.ecfg.input_x - 1 - j[:, 0]
+                j = j[list(MPII_SWAP_INDICES)]
+                v = v[list(MPII_SWAP_INDICES)]
+            joints[p], vis[p], valid[p] = j, v, True
+            boxes[p] = bbox_from_visible_joints(
+                {"2d_joints": j.tolist(), "visible_joints": v.tolist()},
+                margin=10.0,
+            )
+            weights[p] = float(ann.get("pose_weight", 1.0))
+        return canvas, joints, vis, valid, boxes, weights
+
+    def get_batch(self, indices):
+        import jax.numpy as jnp
+
+        from popnet_tpu.data.preprocessing import vgg_preprocess
+
+        imgs, j2, vis, valid, boxes, weights = [], [], [], [], [], []
+        for i in indices:
+            c, j, v, val, bb, w = self._load_one(int(i))
+            imgs.append(vgg_preprocess(c))
+            j2.append(j)
+            vis.append(v)
+            valid.append(val)
+            boxes.append(bb)
+            weights.append(w)
+        batch = dict(
+            encode_mpii_batch(
+                jnp.asarray(np.stack(j2), jnp.float32),
+                jnp.asarray(np.stack(vis), jnp.float32),
+                jnp.asarray(np.stack(valid)),
+                jnp.asarray(np.stack(boxes), jnp.float32),
+                jnp.asarray(np.stack(weights), jnp.float32),
+                self.ecfg,
+            )
+        )
+        batch["image"] = jnp.asarray(np.stack(imgs), jnp.float32)
+        return batch
+
+    # prefetching batch iterator shared with the depth datasets
+    from popnet_tpu.data.datasets import _BaseDataset as _B
+
+    iter_batches = _B.iter_batches
+    del _B

@@ -82,6 +82,35 @@ def make_rtpose_vgg_train_step(num_stages: int = 6):
     return step
 
 
+def make_popnet_rgb_train_step(num_joints: int = 16, num_stages: int = 2):
+    """RGB PoP-Net step over MPII batches (reference: losses.py:468-539
+    pop_net_rgb_loss_fgweight; the reference ships MPII_Keypoints + the loss
+    but no train entry — this completes the recipe)."""
+    from popnet_tpu.losses import popnet_rgb_loss
+
+    def step(state, batch):
+        def loss_fn(params):
+            (_, saved), new_stats = _apply(state, params, batch["image"])
+            loss, logs = popnet_rgb_loss(
+                saved, batch["heatmaps"], batch["align_maps"],
+                batch["fg_masks_align"], batch["prior_map"],
+                batch["prior_mask_conf"], batch["prior_mask_coord"],
+                num_joints, num_stages=num_stages,
+            )
+            return loss, (logs, new_stats)
+
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        logs["loss"] = loss
+        return state, logs
+
+    return step
+
+
 def make_yolo_train_step(num_joints: int = 15, use_pose_weight: bool = True):
     """Yolo-Pose+ step (reference: losses.py:397-465,
     train_yolo_posenet_kdh3d.py:284-342)."""

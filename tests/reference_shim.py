@@ -59,6 +59,8 @@ def _tv_getattr(name):
 _tv_tf.__getattr__ = _tv_getattr
 _tv.transforms = _tv_tf
 _stub_module("thop", profile=lambda *a, **k: (0, 0), clever_format=lambda *a, **k: "")
+# flow_vis is a visualization-only dependency of datasets_mpii_new.py
+_stub_module("flow_vis", flow_to_color=lambda *a, **k: None)
 
 import os as _os
 
