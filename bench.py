@@ -14,9 +14,10 @@ throughput):
 
 Env knobs: BENCH_MODEL=openpose|popnet, BENCH_BATCH, BENCH_ITERS,
 BENCH_QUEUE, BENCH_STAGE=full|cnn (cnn truncates after the CNN to
-attribute time between CNN and decode+D2H), BENCH_PACK=f32|q16 (q16 =
-fixed-point uint16 wire buffer, 3x fewer D2H bytes; quantization <=0.03 px
-/ <=0.12 mm, far under the benchmark thresholds).
+attribute time between CNN and decode+D2H), BENCH_PACK=q16|f32 (default
+q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes; quantization
+<=1/32 px / <=0.13 mm, far under the benchmark thresholds — BENCH_PACK=f32
+for the exact-float wire).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the driver north-star of 2000 depth frames/sec/chip.
@@ -45,7 +46,7 @@ def main():
     qdepth = int(os.environ.get("BENCH_QUEUE", "3"))
     mode = os.environ.get("BENCH_MODEL", "openpose")
     stage = os.environ.get("BENCH_STAGE", "full")
-    pack = os.environ.get("BENCH_PACK", "f32")
+    pack = os.environ.get("BENCH_PACK", "q16")
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
 

@@ -104,6 +104,10 @@ def assemble_batched(
     ncre0 = jnp.zeros((B,), jnp.int32)
 
     def merge(state, xs):
+        # Scatter-free: every row select is a one-hot contraction and every
+        # state write is a masked dense where(). TPU scatters serialize per
+        # update row and dominated this scan (44 ms/batch-256 profiled);
+        # the dense forms are pure VPU selects with identical values.
         ids, score, count, alive, ncre = state
         src_t, dst_t, i, j, cs, good = xs  # src_t/dst_t scalar; i,j,cs,good (B,)
 
@@ -111,20 +115,24 @@ def assemble_batched(
         ids_dst = jax.lax.dynamic_index_in_dim(ids, dst_t, axis=2, keepdims=False)
         match = alive & ((ids_src == i[:, None]) | (ids_dst == j[:, None]))  # (B, P)
         a0 = jnp.argmax(match, axis=1)
+        oh0 = jax.nn.one_hot(a0, P, dtype=bool)  # (B, P)
         has0 = jnp.any(match, axis=1)
-        m2 = match & ~jax.nn.one_hot(a0, P, dtype=bool)
+        m2 = match & ~oh0
         a1 = jnp.argmax(m2, axis=1)
+        oh1 = jax.nn.one_hot(a1, P, dtype=bool)
         has1 = jnp.any(m2, axis=1)
 
         src_sc = peak_score[barange, src_t, i]
         dst_sc = peak_score[barange, dst_t, j]
 
-        row0 = jnp.take_along_axis(ids, a0[:, None, None], axis=1)[:, 0]  # (B, K)
-        row1 = jnp.take_along_axis(ids, a1[:, None, None], axis=1)[:, 0]
-        sc0 = jnp.take_along_axis(score, a0[:, None], axis=1)[:, 0]
-        sc1 = jnp.take_along_axis(score, a1[:, None], axis=1)[:, 0]
-        ct0 = jnp.take_along_axis(count, a0[:, None], axis=1)[:, 0]
-        ct1 = jnp.take_along_axis(count, a1[:, None], axis=1)[:, 0]
+        oh0i = oh0.astype(jnp.int32)
+        oh1i = oh1.astype(jnp.int32)
+        row0 = jnp.sum(oh0i[:, :, None] * ids, axis=1)  # (B, K)
+        row1 = jnp.sum(oh1i[:, :, None] * ids, axis=1)
+        sc0 = jnp.sum(oh0.astype(score.dtype) * score, axis=1)
+        sc1 = jnp.sum(oh1.astype(score.dtype) * score, axis=1)
+        ct0 = jnp.sum(oh0i * count, axis=1)
+        ct1 = jnp.sum(oh1i * count, axis=1)
 
         oh_src = jax.nn.one_hot(src_t, K, dtype=jnp.int32)  # (K,)
         oh_dst = jax.nn.one_hot(dst_t, K, dtype=jnp.int32)
@@ -158,20 +166,13 @@ def assemble_batched(
         new_ct = jnp.where(case_new, 2, jnp.where(case_merge, ct0 + ct1, ct0 + 1))
 
         p_tgt = jnp.where(case_new, ncre, a0)
-        cur_row = jnp.take_along_axis(ids, p_tgt[:, None, None], axis=1)[:, 0]
-        cur_sc = jnp.take_along_axis(score, p_tgt[:, None], axis=1)[:, 0]
-        cur_ct = jnp.take_along_axis(count, p_tgt[:, None], axis=1)[:, 0]
-        cur_al = jnp.take_along_axis(alive, p_tgt[:, None], axis=1)[:, 0]
+        wmask = jax.nn.one_hot(p_tgt, P, dtype=bool) & do_write[:, None]  # (B, P)
 
-        ids = ids.at[barange, p_tgt].set(
-            jnp.where(do_write[:, None], new_row, cur_row)
-        )
-        score = score.at[barange, p_tgt].set(jnp.where(do_write, new_sc, cur_sc))
-        count = count.at[barange, p_tgt].set(jnp.where(do_write, new_ct, cur_ct))
-        alive = alive.at[barange, p_tgt].set(jnp.where(do_write, True, cur_al))
-
-        al1 = jnp.take_along_axis(alive, a1[:, None], axis=1)[:, 0]
-        alive = alive.at[barange, a1].set(jnp.where(case_merge, False, al1))
+        ids = jnp.where(wmask[:, :, None], new_row[:, None, :], ids)
+        score = jnp.where(wmask, new_sc[:, None], score)
+        count = jnp.where(wmask, new_ct[:, None], count)
+        alive = alive | wmask
+        alive = alive & ~(oh1 & case_merge[:, None])
         ncre = ncre + case_new.astype(jnp.int32)
         return (ids, score, count, alive, ncre), None
 

