@@ -160,6 +160,11 @@ def cmd_train(args):
         weight_decay=args.weight_decay,
         out_dir=args.out_dir, seed=args.seed,
     )
+    if args.lr_patience is not None:
+        # patience beyond the epoch budget == constant lr (the plateau
+        # controller starves short/bounded runs; the reference default of 5
+        # is tuned for its 200-epoch, 176k-image training)
+        trainer.scheduler.patience = args.lr_patience
     if args.resume:
         trainer.resume()
     trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size)
@@ -559,6 +564,9 @@ def build_parser():
     t.add_argument("--weight-decay", type=float, default=0.0)
     t.add_argument("--trunk", choices=["vgg19", "mobilenet"], default="vgg19",
                    help="rtpose_vgg trunk (COCO RGB recipe)")
+    t.add_argument("--lr-patience", type=int, default=None,
+                   help="ReduceLROnPlateau patience override (reference "
+                        "default 5; set >= epochs for a constant lr)")
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")
     t.add_argument("--mp-label-prefix", default="labels_loc")

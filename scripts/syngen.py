@@ -65,9 +65,12 @@ def main():
          "--out-dir", frozen, "--seed", "777"])
 
     # the reference PoP-Net recipe, bounded budget
+    # constant lr: the plateau controller starves bounded runs (run 3: lr
+    # decayed 0.05 -> 0.02 by epoch 43 while the loss was still descending)
     cli(["train", "--model", "popnet", "--data-root", train_root,
          "--labels", "labels.json", "--mp-aug", "--out-dir", run_dir,
          "--epochs", str(epochs), "--batch-size", str(batch), "--lr", lr,
+         "--lr-patience", str(10 * epochs),
          "--val-labels", "labels.json", "--transfer", "u16mm"])
 
     ecfg = EncoderConfig()
