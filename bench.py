@@ -1,9 +1,9 @@
 """End-to-end throughput benchmark: raw depth frames -> 3D human lists.
 
-Two pipelines (popnet_tpu/serving.py), both ONE jitted XLA program per batch
-with EVERY batch's human tensors materialized on the host (per-batch
-double-buffered drain — an honest serving number, not device-dispatch
-throughput):
+All four benchmark method rows (popnet_tpu/serving.py), each ONE jitted XLA
+program per batch with EVERY batch's human tensors materialized on the host
+(per-batch double-buffered drain — an honest serving number, not
+device-dispatch throughput):
 
 - openpose (default, the north-star path "preproc + CNN + assembly"):
   clip/resize/normalize + RTPoseLight3D + batched peak NMS + subpixel
@@ -11,16 +11,22 @@ throughput):
   readout + back-projection (decode/openpose_infer.py).
 - popnet: preproc + PopNet + prior decode/NMS + alignment & z readout +
   back-projection (decode/popnet_infer.py).
+- yolo: preproc + YoloPoseNet + prior decode/NMS + back-projection
+  (reference row: evaluation_yolo_posenet_kdh3d_mpreal.py:166-169).
+- yolo_a2j: the two-stage detector -> per-person A2J crops path as one XLA
+  program (reference rows: a2j_test_pred_box.py:550-700).
 
-Env knobs: BENCH_MODEL=openpose|popnet, BENCH_BATCH, BENCH_ITERS,
-BENCH_QUEUE, BENCH_STAGE=full|cnn (cnn truncates after the CNN to
-attribute time between CNN and decode+D2H), BENCH_PACK=q16|f32 (default
-q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes; quantization
-<=1/32 px / <=0.13 mm, far under the benchmark thresholds — BENCH_PACK=f32
-for the exact-float wire).
+Env knobs: BENCH_MODEL=openpose|popnet|yolo|yolo_a2j, BENCH_BATCH,
+BENCH_ITERS, BENCH_QUEUE, BENCH_STAGE=full|cnn (cnn truncates after the
+CNN to attribute time between CNN and decode+D2H), BENCH_PACK=q16|f32
+(default q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes;
+quantization <=1/32 px / <=0.13 mm, far under the benchmark thresholds —
+BENCH_PACK=f32 for the exact-float wire), BENCH_PEAK_TFLOPS (per-chip peak
+for the MFU figure; default 197 = TPU v5e bf16).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the driver north-star of 2000 depth frames/sec/chip.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "mfu",
+"gflops_per_frame"}. Baseline: the driver north-star of 2000 depth
+frames/sec/chip.
 """
 
 import json
@@ -34,10 +40,23 @@ import jax.numpy as jnp
 from popnet_tpu.serving import (
     build_openpose_pipeline,
     build_popnet_pipeline,
+    build_yolo_a2j_pipeline,
+    build_yolo_pipeline,
     serve_stream,
 )
 
 BASELINE_FPS = 2000.0
+
+
+def _flops_per_call(pipeline, frames):
+    """XLA's own cost model for the compiled program (MFU numerator)."""
+    try:
+        cost = pipeline.lower(frames).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -47,15 +66,23 @@ def main():
     mode = os.environ.get("BENCH_MODEL", "openpose")
     stage = os.environ.get("BENCH_STAGE", "full")
     pack = os.environ.get("BENCH_PACK", "q16")
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
 
-    pipeline = (
-        build_openpose_pipeline(stage=stage, pack=pack)
-        if mode == "openpose"
-        else build_popnet_pipeline(pack=pack)
-    )
+    if mode == "openpose":
+        pipeline = build_openpose_pipeline(stage=stage, pack=pack)
+    elif mode == "popnet":
+        pipeline = build_popnet_pipeline(pack=pack)
+    elif mode == "yolo":
+        pipeline = build_yolo_pipeline(pack=pack)
+    elif mode == "yolo_a2j":
+        pipeline = build_yolo_a2j_pipeline(pack=pack)
+    else:
+        raise SystemExit(f"unknown BENCH_MODEL {mode!r}")
     metric = f"{mode}_e2e_inference" if stage == "full" else f"{mode}_{stage}_only"
+
+    flops = _flops_per_call(pipeline, frames)
 
     np.asarray(pipeline(frames))  # warmup / compile
     np.asarray(pipeline(frames))
@@ -71,16 +98,16 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    if flops:
+        out["mfu"] = round(flops * iters / dt / peak, 4)
+        out["gflops_per_frame"] = round(flops / batch / 1e9, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

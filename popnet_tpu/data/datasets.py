@@ -163,6 +163,7 @@ class _BaseDataset:
         render_max: float = 1.2,
         seed: int = 0,
         transfer: str = "f32",
+        cache_images: bool = False,
     ):
         self.img_dir = img_dir
         self.anno_dic, self.intrinsics = load_label_file(ann_file)
@@ -179,7 +180,24 @@ class _BaseDataset:
         if transfer not in ("f32", "u16mm"):
             raise ValueError(f"transfer must be 'f32' or 'u16mm', got {transfer!r}")
         self.transfer = transfer
+        # on multi-epoch runs the same .npy files are re-read every epoch;
+        # with cache_images the decoded f32 arrays stay in host RAM (~1 MB
+        # per 512x480 frame — size the cache to the dataset before enabling).
+        # Cached arrays are read-only by convention: every consumer below
+        # derives new arrays (stack/where/arithmetic), never writes in place.
+        self.cache_images = cache_images
+        self._npy_cache: dict[str, np.ndarray] = {}
         self.rng = np.random.default_rng(seed)
+
+    def _load_npy(self, path: str) -> np.ndarray:
+        if not self.cache_images:
+            return np.load(path).astype(np.float32)
+        arr = self._npy_cache.get(path)
+        if arr is None:
+            arr = np.load(path).astype(np.float32)
+            arr.setflags(write=False)
+            self._npy_cache[path] = arr
+        return arr
 
     def __len__(self):
         return len(self.ids)
@@ -316,13 +334,13 @@ class KDH3DDataset(_BaseDataset):
 
     def load_composited(self, index):
         image_id = self.ids[index]
-        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        depth = self._load_npy(os.path.join(self.img_dir, image_id))
         if self.bg_aug:
             bg_id = index % len(self.bg_list)
-            bg = np.load(
+            bg = self._load_npy(
                 os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
-            ).astype(np.float32)
-            fg = np.load(os.path.join(self.seg_dir, image_id)).astype(np.float32)
+            )
+            fg = self._load_npy(os.path.join(self.seg_dir, image_id))
             # single-image composite stays on host: one fused multiply-add
             # beats a per-sample device round trip (the batched device path
             # is data/compositing.py bg_composite)
@@ -371,8 +389,8 @@ class KDH3DMPAugDataset(_BaseDataset):
             self._add_layer(ii, index, layers, masks, anns)
 
         bg_id = index % len(self.bg_list)
-        bg = np.load(os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])).astype(
-            np.float32
+        bg = self._load_npy(
+            os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
         )
         # host z-buffer composite (single sample; the batched device op is
         # data/compositing.py mp_composite)
@@ -387,12 +405,8 @@ class KDH3DMPAugDataset(_BaseDataset):
     def _add_layer(self, ii, index, layers, masks, anns):
         image_id = self.ids_list[ii][index % len(self.ids_list[ii])]
         anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
-        layers.append(
-            np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
-        )
-        masks.append(
-            np.load(os.path.join(self.seg_dir, image_id)).astype(np.float32)
-        )
+        layers.append(self._load_npy(os.path.join(self.img_dir, image_id)))
+        masks.append(self._load_npy(os.path.join(self.seg_dir, image_id)))
 
 
 class MPRealDataset(_BaseDataset):
@@ -406,7 +420,7 @@ class MPRealDataset(_BaseDataset):
 
     def load_composited(self, index):
         image_id = self.ids[index]
-        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        depth = self._load_npy(os.path.join(self.img_dir, image_id))
         return depth, list(self.anno_dic[image_id])
 
     def gt_human_lists(self):
@@ -479,12 +493,8 @@ class KDH3DMPAugAdvDataset(KDH3DMPAugDataset):
                     j2[n], j3[n], bb[n] = tj2[0], tj3[0], tbb[0]
                     pw[n] = pk.pose_weights[0]
                     valid[n] = True
-                    layers[n] = np.load(
-                        os.path.join(self.img_dir, image_id)
-                    ).astype(np.float32)
-                    masks[n] = np.load(
-                        os.path.join(self.seg_dir, image_id)
-                    ).astype(np.float32)
+                    layers[n] = self._load_npy(os.path.join(self.img_dir, image_id))
+                    masks[n] = self._load_npy(os.path.join(self.seg_dir, image_id))
                     inv_mats[n] = params.inv_mat
                     scales[n] = params.depth_scale
                     flips[n] = params.flip
@@ -500,9 +510,9 @@ class KDH3DMPAugAdvDataset(KDH3DMPAugDataset):
             all_w.append(pw)
             all_valid.append(valid)
             bgs.append(
-                np.load(os.path.join(
+                self._load_npy(os.path.join(
                     self.bg_dir, self.bg_list[idx % len(self.bg_list)]["file_name"]
-                )).astype(np.float32)
+                ))
             )
             bg_params.append(
                 ad.sample_augment_params(
@@ -565,7 +575,7 @@ class ROIDataset(_BaseDataset):
 
     def load_composited(self, index):
         image_id = self.ids[index]
-        depth = np.load(os.path.join(self.img_dir, image_id)).astype(np.float32)
+        depth = self._load_npy(os.path.join(self.img_dir, image_id))
         return depth, list(self.anno_dic[image_id])
 
     def get_batch(self, indices):

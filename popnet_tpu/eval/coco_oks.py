@@ -60,22 +60,24 @@ def compute_oks(gt: dict, dts: list[dict], sigmas=OKS_SIGMAS) -> np.ndarray:
     return out
 
 
-def _match_image(gts, dts, thrs):
+def _match_image(gts, dts, thrs, max_dets: int = 20):
     """Greedy per-image matching at each OKS threshold.
 
     Returns (dt_matched (T, D), dt_ignore (T, D), gt_ignore (G,), dt_scores).
-    Detections sorted by descending score; each picks the best remaining
-    GT with OKS >= threshold (ignored GTs only if nothing else matched)."""
+    Detections sorted by descending score and truncated to `max_dets`
+    (COCOeval keypoints maxDets=20); each picks the best remaining GT with
+    OKS >= threshold (ignored GTs only if nothing else matched)."""
     T = len(thrs)
     gt_ignore = np.array(
-        [bool(g.get("iscrowd", 0)) or g.get("num_keypoints", _nkp(g)) == 0 for g in gts]
+        [bool(g.get("iscrowd", 0)) or g.get("num_keypoints", _nkp(g)) == 0 for g in gts],
+        dtype=bool,  # explicit: an empty list would otherwise infer float64
     )
     order_g = np.argsort(gt_ignore, kind="stable")  # real GTs first
     gts = [gts[i] for i in order_g]
     gt_ignore = gt_ignore[order_g]
 
     scores = np.array([d.get("score", 0.0) for d in dts])
-    order_d = np.argsort(-scores, kind="stable")
+    order_d = np.argsort(-scores, kind="stable")[:max_dets]
     dts = [dts[i] for i in order_d]
     scores = scores[order_d]
 

@@ -249,6 +249,152 @@ def build_popnet_pipeline(
     return _maybe_shard(pipeline, mesh)
 
 
+def build_yolo_pipeline(
+    variables=None,
+    dtype=jnp.bfloat16,
+    ecfg: EncoderConfig = EncoderConfig(),
+    dcfg: DecodeConfig = DecodeConfig(),
+    depth: DepthStats = KDH3D_DEPTH,
+    cam: CameraIntrinsics = KDH3D_INTRINSICS,
+    mesh: Mesh | None = None,
+    pack: str = "f32",
+    w_out: float = 480.0,
+    h_out: float = 512.0,
+):
+    """Yolo-Pose+ serving fn: (B, H, W) raw depth -> (B, L) packed buffer.
+
+    Preproc + YoloPoseNet + on-device prior decode/NMS + back-projection
+    (the reference times this per-image at
+    evaluation_yolo_posenet_kdh3d_mpreal.py:166-169; here it is one XLA
+    program per batch with only the packed human tensors leaving the chip).
+    """
+    from popnet_tpu.decode.prior import decode_prior_maps
+    from popnet_tpu.models import YoloPoseNet
+
+    model = YoloPoseNet(dtype=dtype)
+    if variables is None:
+        variables = init_variables(model)
+    anchors = jnp.asarray(np.asarray(ecfg.anchors, np.float32))
+    K = ecfg.num_joints
+
+    def pipeline(raw_depth):
+        x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
+        prior = model.apply(variables, x, train=False)
+        dets, valid = decode_prior_maps(
+            prior.astype(jnp.float32), anchors, depth.mean, depth.std,
+            num_joints=K, conf_threshold=dcfg.conf_threshold,
+            nms_threshold=dcfg.nms_threshold, max_det=dcfg.max_people,
+        )
+        jx = dets[..., 5 : 5 + K] * w_out                      # (B, M, K)
+        jy = dets[..., 5 + K : 5 + 2 * K] * h_out
+        jz = dets[..., 5 + 2 * K : 5 + 3 * K]
+        joints2d = jnp.stack([jx, jy], axis=-1)
+        conf = jnp.broadcast_to(dets[..., 4:5], jz.shape) * valid[..., None]
+        X = (jx - cam.cx) / cam.fx * jz
+        Y = (jy - cam.cy) / cam.fy * jz
+        joints3d = jnp.stack([X, Y, jz], axis=-1)
+        if pack == "q16":
+            return pack_outputs_q16(joints2d, jz, conf, valid)
+        return pack_outputs(joints2d, joints3d, conf, valid.astype(jnp.float32))
+
+    return _maybe_shard(pipeline, mesh)
+
+
+def build_yolo_a2j_pipeline(
+    yolo_variables=None,
+    a2j_variables=None,
+    dtype=jnp.bfloat16,
+    ecfg: EncoderConfig = EncoderConfig(),
+    dcfg: DecodeConfig = DecodeConfig(),
+    depth: DepthStats = KDH3D_DEPTH,
+    cam: CameraIntrinsics = KDH3D_INTRINSICS,
+    mesh: Mesh | None = None,
+    pack: str = "f32",
+    max_crops: int = 4,
+    w_out: float = 480.0,
+    h_out: float = 512.0,
+):
+    """Two-stage Yolo->A2J serving fn: (B, H, W) raw depth -> packed buffer.
+
+    The reference runs this as two scripts with per-person Python crops
+    (a2j_test_pred_box.py:550-700); here both stages are ONE XLA program:
+    detector + prior NMS, top-`max_crops` boxes per image, a batched
+    nearest-neighbor crop gather (B*C, 288, 288), A2J + anchor voting, and
+    an on-device uncrop + back-projection. All shapes static; empty slots
+    ride masked (valid=0).
+    """
+    from popnet_tpu.data.a2j_crops import CROP, crop_resize_batch
+    from popnet_tpu.decode.a2j import a2j_post_process
+    from popnet_tpu.decode.prior import decode_prior_maps
+    from popnet_tpu.models import A2J, YoloPoseNet
+    from popnet_tpu.models.a2j import generate_anchors, shift_anchors
+
+    yolo = YoloPoseNet(dtype=dtype)
+    a2j = A2J(dtype=dtype)
+    if yolo_variables is None:
+        yolo_variables = init_variables(yolo)
+    if a2j_variables is None:
+        with jax.default_device(jax.devices("cpu")[0]):
+            a2j_variables = a2j.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, CROP, CROP, 1), jnp.float32),
+                train=False,
+            )
+        a2j_variables = jax.device_put(a2j_variables, jax.devices()[0])
+    anchors = jnp.asarray(np.asarray(ecfg.anchors, np.float32))
+    all_anchors = jnp.asarray(
+        shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
+        dtype=jnp.float32,
+    )
+    K = ecfg.num_joints
+    C = max_crops
+
+    def pipeline(raw_depth):
+        B = raw_depth.shape[0]
+        x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
+        prior = yolo.apply(yolo_variables, x, train=False)
+        dets, valid = decode_prior_maps(
+            prior.astype(jnp.float32), anchors, depth.mean, depth.std,
+            num_joints=K, conf_threshold=dcfg.conf_threshold,
+            nms_threshold=dcfg.nms_threshold, max_det=dcfg.max_people,
+        )
+        # rows are conf-sorted; keep the C highest-confidence valid boxes
+        dets = dets[:, :C]
+        valid = valid[:, :C]
+        cx = dets[..., 0] * w_out
+        cy = dets[..., 1] * h_out
+        bw = dets[..., 2] * w_out
+        bh = dets[..., 3] * h_out
+        boxes = jnp.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+        ).reshape(B * C, 4)
+        image_idx = jnp.repeat(jnp.arange(B), C)
+        crops = crop_resize_batch(
+            raw_depth, image_idx, boxes, depth.mean, depth.std, CROP
+        ).astype(dtype)
+        heads = a2j.apply(a2j_variables, crops, train=False)
+        kp = a2j_post_process(
+            tuple(h.astype(jnp.float32) for h in heads), all_anchors
+        )                                                # (B*C, K, 3) (y, x, z)
+        # uncrop back to image pixels (data/a2j_crops.py uncrop_keypoints)
+        bx0, by0 = boxes[:, 0:1], boxes[:, 1:2]
+        bw_ = boxes[:, 2:3] - boxes[:, 0:1]
+        bh_ = boxes[:, 3:4] - boxes[:, 1:2]
+        jx = kp[..., 1] / CROP * bw_ + bx0
+        jy = kp[..., 0] / CROP * bh_ + by0
+        jz = kp[..., 2]
+        joints2d = jnp.stack([jx, jy], axis=-1).reshape(B, C, K, 2)
+        jz = jz.reshape(B, C, K)
+        X = (joints2d[..., 0] - cam.cx) / cam.fx * jz
+        Y = (joints2d[..., 1] - cam.cy) / cam.fy * jz
+        joints3d = jnp.stack([X, Y, jz], axis=-1)
+        conf = valid[..., None].astype(jnp.float32) * jnp.ones((B, C, K))
+        if pack == "q16":
+            return pack_outputs_q16(joints2d, jz, conf, valid)
+        return pack_outputs(joints2d, joints3d, conf, valid.astype(jnp.float32))
+
+    return _maybe_shard(pipeline, mesh)
+
+
 def serve_stream(pipeline, batches, queue_depth: int = 3):
     """Run `pipeline` over an iterable of raw-depth batches, keeping up to
     `queue_depth` batches in flight; yields each batch's packed buffer as a

@@ -77,6 +77,10 @@ class Trainer:
         # default: the reference CPM recipe's plateau controller; A2J passes
         # StepLR(10, 0.2) (reference: train_a2j_mpaug_new.py:444)
         self.scheduler = scheduler or ReduceLROnPlateau(learning_rate)
+        # warmup schedules start below the nominal lr; honor epoch 0's value
+        lr0 = getattr(self.scheduler, "initial_lr", None)
+        if lr0 is not None and abs(lr0 - learning_rate) > 1e-12:
+            self.state = set_learning_rate(self.state, lr0)
         self.best_val = float("inf")
         self.epoch = 0
         self.history = []
@@ -129,21 +133,28 @@ class Trainer:
         return losses.avg
 
     def fit(self, train_ds, val_ds, epochs: int, batch_size: int,
-            checkpoint_every: int | None = None):
+            checkpoint_every: int | None = None, val_every: int = 1):
+        """`val_every`/`checkpoint_every` thin the per-epoch validate/save
+        cadence for many-small-epoch runs (the synthetic-generalization
+        recipe runs 16-step epochs, where per-epoch orbax saves would cost
+        more wall-clock than the steps); the final epoch always validates
+        and checkpoints."""
         n_dev = len(self.mesh.devices.ravel())
         if batch_size % n_dev != 0:
             # shrink the data-parallel mesh to the largest divisor of batch
             n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
             self.mesh = make_mesh(jax.devices()[:n])
             self.step_fn = jit_step_over_mesh(self._make_step, self.mesh)
-        for _ in range(epochs):
+        for k in range(epochs):
+            last = k == epochs - 1
             if self.profile_epoch is not None and self.epoch == self.profile_epoch:
                 jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
             train_loss = self.train_epoch(train_ds, batch_size)
             if self.profile_epoch is not None and self.epoch == self.profile_epoch:
                 jax.profiler.stop_trace()
 
-            val_loss = self.validate(val_ds, batch_size) if val_ds is not None else train_loss
+            do_val = val_ds is not None and (last or (self.epoch + 1) % val_every == 0)
+            val_loss = self.validate(val_ds, batch_size) if do_val else train_loss
             new_lr = self.scheduler.step(val_loss)
             if abs(new_lr - get_learning_rate(self.state)) > 1e-12:
                 self.state = set_learning_rate(self.state, new_lr)
@@ -169,7 +180,7 @@ class Trainer:
                 "scheduler_best": self.scheduler.best,
                 "best_val": min(self.best_val, val_loss),
             }
-            if val_loss < self.best_val:
+            if (do_val or val_ds is None) and val_loss < self.best_val:
                 self.best_val = val_loss
                 # best-val weights live in their own directory so periodic
                 # checkpoints can never evict them (max_to_keep)
@@ -177,10 +188,11 @@ class Trainer:
                     os.path.join(self.out_dir, "ckpt_best"), self.state,
                     step=self.epoch, metadata=meta, keep=1,
                 )
-            ckpt.save_checkpoint(
-                os.path.join(self.out_dir, "ckpt"), self.state,
-                step=self.epoch, metadata=meta,
-            )
+            if last or checkpoint_every is None or (self.epoch + 1) % checkpoint_every == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(self.out_dir, "ckpt"), self.state,
+                    step=self.epoch, metadata=meta,
+                )
             self.epoch += 1
         return self.history
 

@@ -9,6 +9,46 @@
 
 from __future__ import annotations
 
+import math
+
+
+class WarmupCosine:
+    """Linear warmup then cosine decay to `min_lr`, stepped per epoch.
+
+    The reference tunes SGD(lr=1.0)+plateau for its ~1M-step runs
+    (train_rtpose_light3d_kdh3d.py:313-319); for bounded-budget runs (the
+    synthetic-generalization benchmark, fine-tunes) a warmup+cosine horizon
+    uses the whole budget instead of starving the lr mid-run. Exposes the
+    same `.step(metric) -> lr` / `.best` / `.epoch` interface as StepLR so
+    Trainer checkpoints/resume treat all controllers uniformly."""
+
+    def __init__(self, lr: float, total_epochs: int, warmup_epochs: int = 0,
+                 min_lr: float = 0.0):
+        self.lr0 = lr
+        self.total = total_epochs
+        self.warmup = warmup_epochs
+        self.min_lr = min_lr
+        self.epoch = 0
+        self.lr = self.lr_for(0)
+        self.best = None
+
+    def lr_for(self, e: int) -> float:
+        if self.warmup > 0 and e < self.warmup:
+            return self.lr0 * (e + 1) / self.warmup
+        t = min(max(e - self.warmup, 0) / max(self.total - self.warmup, 1), 1.0)
+        return self.min_lr + (self.lr0 - self.min_lr) * 0.5 * (1.0 + math.cos(math.pi * t))
+
+    @property
+    def initial_lr(self) -> float:
+        return self.lr_for(0)
+
+    def step(self, metric: float) -> float:
+        if self.best is None or metric < self.best:
+            self.best = metric
+        self.epoch += 1
+        self.lr = self.lr_for(self.epoch)
+        return self.lr
+
 
 class StepLR:
     """Epoch-counting decay: lr = lr0 * gamma^(epoch // step_size).
