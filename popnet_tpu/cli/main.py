@@ -59,12 +59,16 @@ def _train_dataset(args, ecfg, dcfg):
         cache_images=getattr(args, "cache_images", False),
     )
     if args.mp_aug:
+        from popnet_tpu.data.datasets import DeviceMPAugDataset
+
         ann_files = sorted(
             os.path.join(args.data_root, f)
             for f in os.listdir(args.data_root)
             if f.startswith(args.mp_label_prefix) and f.endswith(".json")
         )
-        return KDH3DMPAugDataset(
+        cls = DeviceMPAugDataset if getattr(args, "device_bank", False) \
+            else KDH3DMPAugDataset
+        return cls(
             os.path.join(args.data_root, "depth_maps"), ann_files,
             bg_file=os.path.join(args.data_root, "labels_bg.json"),
             bg_dir=os.path.join(args.data_root, "bg_maps"),
@@ -589,6 +593,11 @@ def build_parser():
                    help="validate/update-best every N epochs (final epoch always)")
     t.add_argument("--ckpt-every", type=int, default=None,
                    help="save the periodic checkpoint every N epochs")
+    t.add_argument("--device-bank", action="store_true",
+                   help="mp-aug only: keep the whole scene bank resident in "
+                        "device HBM (uint16 mm, ~0.5 MB/frame) and composite "
+                        "on device — per step only indices+labels cross the "
+                        "host->device link")
     t.add_argument("--cache-images", action="store_true",
                    help="keep decoded .npy frames in host RAM across epochs "
                         "(~1 MB/frame; for datasets that fit in memory)")

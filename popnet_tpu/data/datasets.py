@@ -106,6 +106,15 @@ def prepare_batch_packed(
     halve the dominant image bytes."""
     if images.dtype == jnp.uint16:
         images = images.astype(jnp.float32) * jnp.float32(0.001)
+    return prepare_batch(
+        images, *_unpack_meta(meta, ecfg), ecfg, dcfg,
+        pose_align=pose_align, with_prior=with_prior, pred_vis=pred_vis,
+        encode=encode,
+    )
+
+
+def _unpack_meta(meta, ecfg: EncoderConfig):
+    """Traced inverse of _pack_meta's row layout."""
     P, K = ecfg.max_people, ecfg.num_joints
     o = [0]
 
@@ -122,8 +131,47 @@ def prepare_batch_packed(
     bb = take(P * 4, (P, 4))
     pw = take(P, (P,))
     vd = take(P, (P,)) > 0.5
+    return inv, scales, flips, j2, j3, bb, pw, vd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("far", "ecfg", "dcfg", "pose_align", "with_prior",
+                     "pred_vis", "encode"),
+)
+def prepare_batch_banked(
+    bank_depth,   # (N, H, W) uint16 millimeters — resident scene bank
+    bank_seg,     # (N, H, W) uint8 {0, 1} segmentation masks
+    bank_bg,      # (G, H, W) uint16 millimeters backgrounds
+    layer_ids,    # (B, L) int32 rows into the bank
+    keep,         # (B, L) bool — layer selected this sample
+    bg_ids,       # (B,) int32
+    meta,         # (B, M) f32 — the _pack_meta layout
+    far: float,
+    ecfg: EncoderConfig,
+    dcfg: DatasetConfig,
+    pose_align: bool = True,
+    with_prior: bool = True,
+    pred_vis: bool = False,
+    encode: bool = True,
+):
+    """prepare_batch for a device-RESIDENT scene bank: gather the selected
+    person layers, z-buffer-composite them over the background
+    (data/compositing.py mp_composite — reference semantics
+    datasets_kdh3d_mpaug.py:259-296), then warp + GT-encode, all in ONE XLA
+    program. Per step only (B, L) indices and the (B, M) meta row cross
+    host->device — the composited-image transfer that ceilings tunneled
+    train loops (PARITY.md "input pipeline") disappears entirely."""
+    from popnet_tpu.data.compositing import mp_composite
+
+    layers = bank_depth[layer_ids].astype(jnp.float32) * jnp.float32(0.001)
+    masks = bank_seg[layer_ids].astype(jnp.float32)
+    bg = bank_bg[bg_ids].astype(jnp.float32) * jnp.float32(0.001)
+    images, _ = jax.vmap(
+        lambda d, m, k, b: mp_composite(d, m, k, b, far=far)
+    )(layers, masks, keep, bg)
     return prepare_batch(
-        images, inv, scales, flips, j2, j3, bb, pw, vd, ecfg, dcfg,
+        images, *_unpack_meta(meta, ecfg), ecfg, dcfg,
         pose_align=pose_align, with_prior=with_prior, pred_vis=pred_vis,
         encode=encode,
     )
@@ -407,6 +455,114 @@ class KDH3DMPAugDataset(_BaseDataset):
         anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
         layers.append(self._load_npy(os.path.join(self.img_dir, image_id)))
         masks.append(self._load_npy(os.path.join(self.seg_dir, image_id)))
+
+
+class DeviceMPAugDataset(KDH3DMPAugDataset):
+    """mp-aug with the whole scene bank RESIDENT in device HBM.
+
+    The host path composites on the CPU and ships ~0.5 MB of depth per
+    frame host->device every step; on a tunneled or serving host that link
+    is the train-loop ceiling (PARITY.md "input pipeline": ~90-100 fps
+    regardless of batch). The per-location recordings are FIXED, so this
+    dataset uploads them ONCE — uint16 millimeters (lossless for the
+    mm-native Kinect bank, parse_raw_KDH3D_dataset.py:177-190), ~1.5 GB for
+    3k scenes — and per batch transfers only (B, L) scene indices, (B,)
+    background ids, and the (B, M) label/meta row (~KB). Layer gather,
+    z-buffer composite, warp, and GT encoding run as ONE XLA program
+    (prepare_batch_banked).
+
+    Sampling semantics are IDENTICAL to KDH3DMPAugDataset (same AUG_MODS
+    draw, keep-prob, >=1-person guarantee, background rotation, same rng
+    call order — tests/test_datasets.py pins batch equality), and the u16mm
+    quantization commutes with the z-buffer composite (min/select of
+    per-layer-quantized values == quantizing the composite).
+    """
+
+    MAX_LAYERS = max(len(m) for m in AUG_MODS)
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        # flat scene bank: depth + seg for every (location, image) pair
+        self._row = {}
+        depths, segs = [], []
+        for ii, ids in enumerate(self.ids_list):
+            for image_id in ids:
+                if image_id not in self._row:
+                    d = np.load(os.path.join(self.img_dir, image_id))
+                    s = np.load(os.path.join(self.seg_dir, image_id))
+                    depths.append(
+                        np.clip(np.round(d.astype(np.float64) * 1000.0), 0, 65535
+                                ).astype(np.uint16)
+                    )
+                    segs.append((s > 0).astype(np.uint8))
+                    self._row[image_id] = len(depths) - 1
+        bgs = []
+        for entry in self.bg_list:
+            b = np.load(os.path.join(self.bg_dir, entry["file_name"]))
+            bgs.append(
+                np.clip(np.round(b.astype(np.float64) * 1000.0), 0, 65535
+                        ).astype(np.uint16)
+            )
+        self.bank_depth = jnp.asarray(np.stack(depths))
+        self.bank_seg = jnp.asarray(np.stack(segs))
+        self.bank_bg = jnp.asarray(np.stack(bgs))
+
+    def get_batch(self, indices):
+        h, w = self.dcfg.height, self.dcfg.width
+        L = self.MAX_LAYERS
+        layer_ids = np.zeros((len(indices), L), np.int32)
+        keep = np.zeros((len(indices), L), bool)
+        bg_ids = np.zeros(len(indices), np.int32)
+        params_list, packed = [], []
+        for n, idx in enumerate(indices):
+            idx = int(idx)
+            # EXACT host-path rng call order (load_composited + get_batch)
+            anns, slot = [], 0
+            mod = AUG_MODS[int(self.rng.integers(0, len(AUG_MODS)))]
+            for ii in mod:
+                if self.rng.uniform() > self.keep_prob:
+                    continue
+                ii = ii % len(self.ids_list)
+                image_id = self.ids_list[ii][idx % len(self.ids_list[ii])]
+                anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
+                layer_ids[n, slot] = self._row[image_id]
+                keep[n, slot] = True
+                slot += 1
+            if not anns:  # ensure at least one person (reference :278-288)
+                ii = int(self.rng.integers(0, len(self.ids_list)))
+                image_id = self.ids_list[ii][idx % len(self.ids_list[ii])]
+                anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
+                layer_ids[n, slot] = self._row[image_id]
+                keep[n, slot] = True
+            bg_ids[n] = idx % len(self.bg_list)
+
+            if self.augment:
+                params = ad.sample_augment_params(
+                    self.rng, h, w, self.ecfg.input_y, self.ecfg.input_x,
+                    rotate_deg=10.0, render_min=0.7, render_max=self.render_max,
+                    max_crop=0.1, hflip=self.hflip,
+                )
+            else:
+                params = self._identity_params(h, w)
+            params_list.append(params)
+            pk = pack_annotations(anns, self.ecfg.max_people, self.ecfg.num_joints)
+            j2, j3, bb = ad.transform_labels(
+                params, pk.joints2d, pk.joints3d, pk.bboxes, list(SWAP_INDICES)
+            )
+            j2[~pk.valid] = OOB
+            packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
+
+        batch = prepare_batch_banked(
+            self.bank_depth, self.bank_seg, self.bank_bg,
+            jnp.asarray(layer_ids), jnp.asarray(keep), jnp.asarray(bg_ids),
+            jnp.asarray(_pack_meta(params_list, packed)),
+            2.0 * self.dcfg.depth.max, self.ecfg, self.dcfg,
+            pose_align=self.pose_align, with_prior=self.with_prior,
+            pred_vis=self.pred_vis, encode=self.is_train,
+        )
+        if not self.is_train:
+            batch["index"] = np.asarray(indices)
+        return batch
 
 
 class MPRealDataset(_BaseDataset):

@@ -105,9 +105,15 @@ def find_peaks_batched(
     offs = jnp.arange(size)
     rowsel = jax.nn.one_hot(py[..., None] + offs, Hp, dtype=heat.dtype)  # (B,K,M,5,Hp)
     colsel = jax.nn.one_hot(px[..., None] + offs, Wp, dtype=heat.dtype)  # (B,K,M,5,Wp)
-    UA = jnp.einsum("si,bkmih->bkmsh", U, rowsel)  # (B,K,M,S,Hp)
-    UB = jnp.einsum("si,bkmiw->bkmsw", U, colsel)  # (B,K,M,S,Wp)
-    up = jnp.einsum("bkmsh,bkhw,bkmtw->bkmst", UA, hpad, UB)  # (B,K,M,S,S)
+    # patch-first association: extract the 5x5 patches with the one-hot
+    # selectors, THEN upsample with U. Same contractions as upsampling the
+    # selectors first, but the largest intermediate shrinks from
+    # (B,K,M,S,Hp) f32 (~300 MB at batch 256) to (B,K,M,5,Wp) (~37 MB) —
+    # the refine stage is HBM-bound, so association order is the cost.
+    tmp = jnp.einsum("bkmih,bkhw->bkmiw", rowsel, hpad)    # (B,K,M,5,Wp)
+    patch = jnp.einsum("bkmiw,bkmjw->bkmij", tmp, colsel)  # (B,K,M,5,5)
+    upA = jnp.einsum("si,bkmij->bkmsj", U, patch)          # (B,K,M,S,5)
+    up = jnp.einsum("bkmsj,tj->bkmst", upA, U)             # (B,K,M,S,S)
     S = size * factor
 
     # restrict the argmax to the window the reference's shrunken border
@@ -142,7 +148,8 @@ def find_peaks_batched(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_intermed_pts", "thresh_paf", "factor", "limbs")
+    jax.jit,
+    static_argnames=("num_intermed_pts", "thresh_paf", "factor", "limbs", "method"),
 )
 def score_limb_pairs_batched(
     pafs: jnp.ndarray,         # (B, H, W, 2L) low-res fields
@@ -152,6 +159,7 @@ def score_limb_pairs_batched(
     thresh_paf: float = 0.05,
     factor: int = 8,
     limbs: tuple = LIMBS,
+    method: str = "upsample",
 ):
     """All src x dst pair scores per limb.
 
@@ -209,17 +217,50 @@ def score_limb_pairs_batched(
             jnp.where(tt < 2, a * tt**3 - 5 * a * tt**2 + 8 * a * tt - 4 * a, 0.0),
         )
 
-    wx = cubic_w(fx).reshape(B, L, npts, 4)  # (B, L, N, 4)
-    wy = cubic_w(fy).reshape(B, L, npts, 4)
-    # padded tap columns: x0 - 1 + j + 2 for j in 0..3
     tap = jnp.arange(4)
-    xi = x0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap  # (B,L,N,4)
-    yi = y0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap
-    R = jnp.sum(jax.nn.one_hot(xi, Wp, dtype=pafs.dtype) * wx[..., None], axis=-2)
-    C = jnp.sum(jax.nn.one_hot(yi, Hp, dtype=pafs.dtype) * wy[..., None], axis=-2)
-    # Q[b,l,c,y,n] = sum_x paf[b,l,c,y,x] * R[b,l,n,x]
-    Q = jnp.einsum("blcyx,blnx->blcyn", pafp, R)
-    vals = jnp.einsum("blcyn,blny->blnc", Q, C)  # (B, L, N, 2)
+    if method == "upsample":
+        # The sampled coordinates are ROUNDED integers of the upsampled
+        # image, so the per-point cubic tap rows are rows of the FIXED
+        # separable-resize matrices — exact bicubic at integer points ==
+        # sampling the full separable upsample. Computing
+        # up = Ry @ pafp @ Rx^T once per plane and reading points with one
+        # batched take_along_axis keeps every operand small; the one-hot
+        # path's (B, L, N, Wp) selector operands (~4 GB at batch 256) never
+        # exist. Same cubic_w weights, same tap columns, same f32 ops.
+        W_up, H_up = W * factor, H * factor
+
+        def axis_table(n_out, n_pad):
+            # rows for integer positions -1 .. n_out (clip range below)
+            l = (jnp.arange(-1, n_out + 1, dtype=pafs.dtype) + 0.5) / factor - 0.5
+            a0 = jnp.floor(l)
+            w = cubic_w(l - a0)                              # (n_out+2, 4)
+            idx = a0.astype(jnp.int32)[:, None] + 1 + tap    # padded cols
+            return jnp.sum(
+                jax.nn.one_hot(idx, n_pad, dtype=pafs.dtype) * w[..., None],
+                axis=-2,
+            )                                                # (n_out+2, n_pad)
+
+        Rx_t = axis_table(W_up, Wp)
+        Ry_t = axis_table(H_up, Hp)
+        up = jnp.einsum("yh,blchw,xw->blcyx", Ry_t, pafp, Rx_t)
+        pxc = jnp.clip(pxi, -1, W_up).astype(jnp.int32).reshape(B, L, npts) + 1
+        pyc = jnp.clip(pyi, -1, H_up).astype(jnp.int32).reshape(B, L, npts) + 1
+        flat = up.reshape(B, L, 2, (H_up + 2) * (W_up + 2))
+        idx = (pyc * (W_up + 2) + pxc)[:, :, None, :]
+        vals = jnp.take_along_axis(
+            flat, jnp.broadcast_to(idx, (B, L, 2, npts)), axis=-1
+        ).transpose(0, 1, 3, 2)                              # (B, L, N, 2)
+    else:  # "onehot"
+        wx = cubic_w(fx).reshape(B, L, npts, 4)  # (B, L, N, 4)
+        wy = cubic_w(fy).reshape(B, L, npts, 4)
+        # padded tap columns: x0 - 1 + j + 2 for j in 0..3
+        xi = x0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap
+        yi = y0.astype(jnp.int32).reshape(B, L, npts)[..., None] + 1 + tap
+        R = jnp.sum(jax.nn.one_hot(xi, Wp, dtype=pafs.dtype) * wx[..., None], axis=-2)
+        C = jnp.sum(jax.nn.one_hot(yi, Hp, dtype=pafs.dtype) * wy[..., None], axis=-2)
+        # Q[b,l,c,y,n] = sum_x paf[b,l,c,y,x] * R[b,l,n,x]
+        Q = jnp.einsum("blcyx,blnx->blcyn", pafp, R)
+        vals = jnp.einsum("blcyn,blny->blnc", Q, C)  # (B, L, N, 2)
     sx = vals[..., 0].reshape(B, L, M_, M_, T_)
     sy = vals[..., 1].reshape(B, L, M_, M_, T_)
 

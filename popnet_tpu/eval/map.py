@@ -126,7 +126,12 @@ def get_rpc(class_margin, true_labels, totalpos):
     (reference: util/eval_mAP.py:160-191)."""
     class_margin = np.asarray(class_margin, dtype=np.float64)
     true_labels = np.asarray(true_labels)
-    sortidx = np.flip(np.argsort(class_margin, kind="stable"))
+    # np.argsort's DEFAULT (unstable introsort) flipped, exactly as the
+    # reference does: with tied confidences (common — assembled-joint scores
+    # saturate) the tie order changes the precision curve, so AP parity
+    # requires replicating the reference's sort, quirks and all
+    # (reference: util/eval_mAP.py:179 np.flip(np.argsort(class_margin)))
+    sortidx = np.flip(np.argsort(class_margin))
     sorted_labels = true_labels[sortidx]
     tp = np.cumsum(sorted_labels == 1)
     ranks = np.arange(1, len(sorted_labels) + 1)

@@ -37,7 +37,9 @@ def main():
     from popnet_tpu.cli import evaluate as ev
     from popnet_tpu.cli.main import main as cli
     from popnet_tpu.core.config import DecodeConfig, EncoderConfig, KDH3D_DATASET
-    from popnet_tpu.data.datasets import KDH3DDataset, KDH3DMPAugDataset, MPRealDataset
+    from popnet_tpu.data.datasets import (
+        DeviceMPAugDataset, KDH3DDataset, MPRealDataset,
+    )
     from popnet_tpu.losses import popnet_loss
     from popnet_tpu.models import PopNet
     from popnet_tpu.train.loop import Trainer
@@ -110,7 +112,9 @@ def main():
     )
     common = dict(ecfg=ecfg, dcfg=KDH3D_DATASET, pose_align=True,
                   with_prior=True, transfer="u16mm", cache_images=True)
-    train_ds = KDH3DMPAugDataset(
+    # device-resident scene bank: per-step H2D is indices + labels only —
+    # the tunnel's ~90 fps image-transfer ceiling disappears
+    train_ds = DeviceMPAugDataset(
         os.path.join(train_root, "depth_maps"), ann_files,
         bg_file=os.path.join(train_root, "labels_bg.json"),
         bg_dir=os.path.join(train_root, "bg_maps"),

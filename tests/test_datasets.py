@@ -145,3 +145,30 @@ def test_transfer_u16mm_matches_f32(data):
 def test_transfer_rejects_unknown(data):
     with pytest.raises(ValueError):
         KDH3DDataset(data["img_dir"], data["labels"], transfer="fp8")
+
+
+def test_device_bank_matches_host_mpaug(data):
+    """DeviceMPAugDataset (HBM-resident bank, on-device composite) must
+    reproduce KDH3DMPAugDataset's batches: identical rng consumption ->
+    identical scene/aug draws -> bit-equal labels; images/z differ only by
+    the u16-mm quantization point (layers-then-composite vs
+    composite-then-quantize commute except sub-mm z-buffer ties)."""
+    from popnet_tpu.data.datasets import DeviceMPAugDataset
+
+    kw = dict(bg_file=data["labels_bg"], bg_dir=data["bg_dir"],
+              seg_dir=data["seg_dir"], ecfg=CFG, seed=7, transfer="u16mm")
+    host = KDH3DMPAugDataset(data["img_dir"], data["labels_locs"], **kw)
+    dev = DeviceMPAugDataset(data["img_dir"], data["labels_locs"], **kw)
+
+    hb = host.get_batch([0, 1, 2, 3])
+    db = dev.get_batch([0, 1, 2, 3])
+    assert set(hb.keys()) == set(db.keys())
+    for k in hb:
+        a, b = np.asarray(hb[k]), np.asarray(db[k])
+        assert a.shape == b.shape, k
+        if k in ("image", "zmaps"):
+            np.testing.assert_allclose(a, b, atol=2e-3, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-5, err_msg=k)
+    # rng streams stayed in lockstep
+    assert host.rng.integers(0, 1 << 30) == dev.rng.integers(0, 1 << 30)
