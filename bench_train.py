@@ -6,6 +6,9 @@ Measures, on the real chip:
   2. the input pipeline alone (same iteration, no step) -> headroom.
 
 Run: python bench_train.py            (env: TRAIN_BATCH=64,128 TRAIN_DTYPE=bf16)
+TRAIN_PIPELINE=host (default) uses the single-person host-IO dataset;
+TRAIN_PIPELINE=bank uses DeviceMPAugDataset — the HBM-resident mp-aug scene
+bank where per-step H2D is indices + labels only.
 Prints one JSON line per configuration. Not driver-facing (bench.py is the
 inference headline); results recorded in PARITY.md.
 """
@@ -40,11 +43,21 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get("TRAIN_DTYPE", "bf16") == "bf16" else jnp.float32
     transfer = os.environ.get("TRAIN_TRANSFER", "u16mm")
 
+    pipeline = os.environ.get("TRAIN_PIPELINE", "host")
     root = tempfile.mkdtemp(prefix="bench_train_")
     paths = synthetic_data.build(root, n_images=n_images)
     ecfg = EncoderConfig()
-    ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg, is_train=True,
-                      transfer=transfer)
+    if pipeline == "bank":
+        from popnet_tpu.data.datasets import DeviceMPAugDataset
+
+        ds = DeviceMPAugDataset(
+            paths["img_dir"], paths["labels_locs"], bg_file=paths["labels_bg"],
+            bg_dir=paths["bg_dir"], seg_dir=paths["seg_dir"], ecfg=ecfg,
+            is_train=True,
+        )
+    else:
+        ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg,
+                          is_train=True, transfer=transfer)
 
     model = PopNet(dtype=dtype)
     step = make_popnet_train_step()
@@ -104,6 +117,7 @@ def main():
 
         print(json.dumps({
             "metric": "popnet_train_throughput",
+            "pipeline": pipeline,
             "batch": batch_size,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
             "transfer": transfer,
