@@ -18,8 +18,44 @@ K = 15
 
 
 def person_scene(rng, center, z_base):
-    """Gaussian blob person: depth map, seg mask, joints."""
-    pts = center + rng.normal(0, 35, size=(K, 2))
+    """Kinematic-template person: depth map, seg mask, joints.
+
+    Joints follow a consistent articulated skeleton (head above neck,
+    shoulders L/R of neck, limbs hanging with random articulation), not
+    i.i.d. scatter: joint IDENTITY must be inferable from arrangement or
+    held-out PCK is bounded by chance and the synthetic-generalization
+    benchmark (scripts/syngen.py) measures noise instead of learning.
+    Keypoint order matches the benchmark skeleton
+    (datasets_kdh3d_mpreal.get_keypoints).
+    """
+    s = rng.uniform(0.85, 1.25)          # person scale
+    lean = rng.normal(0.0, 0.12)         # whole-body lean (radians)
+
+    def rot(vx, vy, a):
+        return np.array([vx * np.cos(a) - vy * np.sin(a),
+                         vx * np.sin(a) + vy * np.cos(a)])
+
+    torso = np.asarray(center, np.float64) + rng.normal(0, 8, 2)
+    neck = torso + rot(0, -62 * s, lean)
+    head = neck + rot(0, -34 * s, lean + rng.normal(0, 0.1))
+    pts = np.zeros((K, 2))
+    pts[8] = torso
+    pts[1] = neck
+    pts[0] = head
+    for side, sh_i, el_i, wr_i, hip_i, kn_i, an_i in (
+        (+1, 2, 4, 6, 9, 11, 13),        # right
+        (-1, 3, 5, 7, 10, 12, 14),       # left
+    ):
+        sh = neck + rot(side * 30 * s, 6 * s, lean)
+        el = sh + rot(0, 42 * s, lean + rng.normal(0, 0.5))
+        wr = el + rot(0, 40 * s, lean + rng.normal(0, 0.7))
+        hip = torso + rot(side * 20 * s, 46 * s, lean)
+        kn = hip + rot(0, 50 * s, lean + rng.normal(0, 0.25))
+        an = kn + rot(0, 48 * s, lean + rng.normal(0, 0.25))
+        for i, p in ((sh_i, sh), (el_i, el), (wr_i, wr),
+                     (hip_i, hip), (kn_i, kn), (an_i, an)):
+            pts[i] = p
+    pts += rng.normal(0, 2.0, size=(K, 2))
     pts = np.clip(pts, 10, [W - 10, H - 10])
     z = z_base + rng.normal(0, 0.05, K)
     depth = np.zeros((H, W), np.float32)

@@ -97,3 +97,27 @@ def test_cnn_stage_truncation(frames):
     # heat max (num_joints+1 ch) + paf mean (2*num_limbs ch)
     assert buf.shape == (8, (ECFG.num_joints + 1) + 2 * 14)
     assert np.isfinite(buf).all()
+
+
+def test_yolo_pipeline_shapes(frames):
+    from popnet_tpu.serving import build_yolo_pipeline, unpack_outputs_q16
+
+    pipe = build_yolo_pipeline(dtype=jnp.float32, pack="q16")
+    buf = np.asarray(pipe(frames))
+    out = unpack_outputs_q16(buf, DCFG.max_people, ECFG.num_joints)
+    assert out["joints2d"].shape == (8, DCFG.max_people, ECFG.num_joints, 2)
+    assert out["joints3d"].shape == (8, DCFG.max_people, ECFG.num_joints, 3)
+    assert np.isfinite(out["joints3d"]).all()
+
+
+def test_yolo_a2j_pipeline_shapes():
+    from popnet_tpu.serving import build_yolo_a2j_pipeline, unpack_outputs
+
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.uniform(0.5, 6.0, (2, 512, 480)).astype(np.float32))
+    pipe = build_yolo_a2j_pipeline(dtype=jnp.float32, pack="f32", max_crops=2)
+    buf = np.asarray(pipe(frames))
+    out = unpack_outputs(buf, 2, ECFG.num_joints)
+    assert out["joints2d"].shape == (2, 2, ECFG.num_joints, 2)
+    assert out["conf"].shape == (2, 2, ECFG.num_joints)
+    assert np.isfinite(buf).all()
