@@ -314,7 +314,7 @@ def run_popnet_eval(
     batch_size: int = 16,
     ecfg: EncoderConfig = EncoderConfig(),
     dcfg: DecodeConfig = DecodeConfig(),
-    readout: str = "gated",
+    readout: str = "universe",
 ):
     """PoP-Net inference -> benchmark eval_data dict with `*_aligned` keys.
 

@@ -380,7 +380,7 @@ def cmd_evaluate(args):
 
         data = ev.run_popnet_eval(
             infer, dataset, args.batch_size, ecfg, decfg,
-            readout=getattr(args, "readout", "gated"),
+            readout=getattr(args, "readout", "universe"),
         )
     elif args.model == "openpose":
         def infer(images):
@@ -625,7 +625,7 @@ def build_parser():
              "detector boxes (a2j_test_gt_box ablation)",
     )
     e.add_argument(
-        "--readout", choices=["gated", "universe"], default="gated",
+        "--readout", choices=["gated", "universe"], default="universe",
         help="PoP-Net alignment readout: heat-gated window refinement "
              "(default) or the reference's universe_align_map fusion",
     )

@@ -76,7 +76,7 @@ def popnet_decode(
     cam: CameraIntrinsics,
     w_out: float = 480.0,
     h_out: float = 512.0,
-    readout: str = "gated",
+    readout: str = "universe",
     ht_thresh: float = 0.5,
 ):
     """Returns dict with boxes (B,M,5 px), joints2d (B,M,K,2 px),

@@ -219,7 +219,7 @@ def build_popnet_pipeline(
     depth: DepthStats = KDH3D_DEPTH,
     cam: CameraIntrinsics = KDH3D_INTRINSICS,
     mesh: Mesh | None = None,
-    readout: str = "gated",
+    readout: str = "universe",
     pack: str = "f32",
 ):
     """PoP-Net serving fn: (B, H, W) raw depth -> (B, L) packed buffer."""

@@ -1,10 +1,19 @@
-"""Synthetic-generalization regression pin (VERDICT r1 item 7).
+"""Synthetic-generalization regression pin (VERDICT r2 items 1 + 2).
 
-scripts/syngen.py trains PoP-Net on a fixed procedural mp-aug set (seed 0)
-and scores a FROZEN val benchmark built from a disjoint seed (777) — a
-repeatable number that detects accuracy regressions, which overfit-to-1.0
-cannot. The chip run commits its summary to examples/results/syngen_r2.json;
+scripts/syngen.py trains PoP-Net from scratch on a procedural mp-aug set
+(seed 0, kinematic-template people) and scores a FROZEN val benchmark built
+from a disjoint seed (777) — a repeatable number that detects accuracy
+regressions, which overfit-to-1.0 cannot. The chip run commits its summary
+(with the full metric-vs-step curve) to examples/results/syngen_r3.json;
 this test pins the committed metrics (re-run the script to refresh).
+
+History: the round-2 pin could floor mAP2D only — the old generator
+scattered joints i.i.d., so joint identity was unlearnable and held-out
+PCK plateaued ~0.085 regardless of steps (curve preserved in
+examples/results/syngen_r3_scatter.json). With kinematic people the same
+recipe clears PCK2D 0.98 by 5k steps, so all four metrics are pinned, per
+readout. The universe readout dominates gated on the 3D metrics — the
+measured delta that settled the flagship decode's default.
 """
 
 import json
@@ -14,18 +23,15 @@ import pytest
 
 SUMMARY = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "examples", "results", "syngen_r2.json",
+    "examples", "results", "syngen_r3.json",
 )
 
-# Floors with regression margin below the recorded bounded-budget run
-# (1280 steps, constant lr 0.05 — train loss 0.059 and still descending;
-# the committed JSON has the exact values). PopNet-from-scratch needs far
-# more steps than one round affords (the reference trains ~1M steps), so
-# the detector has not crossed the PCK matcher's IoU>=0.5 gate yet: PCK is
-# ~0 and is NOT pinned. mAP2D ~0.46 IS pinned — a broken encoder, decoder,
-# or training step drops it to ~0, so the pin still catches catastrophic
-# regressions while remaining achievable in-budget.
-FLOORS = {"map2d": 0.35}
+# Floors with regression margin below the recorded 50k-step run
+# (the committed JSON has the exact values).
+FLOORS = {
+    "universe": {"pck2d": 0.95, "pck3d": 0.85, "map2d": 0.95, "map3d": 0.80},
+    "gated": {"pck2d": 0.95, "pck3d": 0.60, "map2d": 0.95, "map3d": 0.45},
+}
 
 
 def test_syngen_summary_pinned():
@@ -34,7 +40,10 @@ def test_syngen_summary_pinned():
     s = json.load(open(SUMMARY))
     assert s["train_seed"] != s["val_seed"], "val must be disjoint from train"
     assert s["val_images"] >= 32
-    for readout in ("gated", "universe"):
+    for readout, floors in FLOORS.items():
         m = s[readout]
-        for k, floor in FLOORS.items():
+        for k, floor in floors.items():
             assert m[k] >= floor, (readout, k, m[k], floor)
+    # the default-readout decision is evidence-based: universe must keep
+    # beating gated on the 3D metrics by a real margin
+    assert s["universe"]["map3d"] >= s["gated"]["map3d"]
