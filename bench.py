@@ -17,7 +17,11 @@ device-dispatch throughput):
   program (reference rows: a2j_test_pred_box.py:550-700).
 
 Env knobs: BENCH_MODEL=openpose|popnet|yolo|yolo_a2j, BENCH_BATCH,
-BENCH_ITERS, BENCH_QUEUE, BENCH_STAGE=full|cnn (cnn truncates after the
+BENCH_ITERS, BENCH_QUEUE, BENCH_CKPT=<variables .npz> (trained weights via
+serving.variables_from_npz — default examples/results/bench_weights_<model>.npz
+when present, else random init; static shapes make throughput
+data-independent, but trained weights exercise realistic decode occupancy),
+BENCH_STAGE=full|cnn (cnn truncates after the
 CNN to attribute time between CNN and decode+D2H), BENCH_PACK=q16|f32
 (default q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes;
 quantization <=1/32 px / <=0.13 mm, far under the benchmark thresholds —
@@ -43,6 +47,7 @@ from popnet_tpu.serving import (
     build_yolo_a2j_pipeline,
     build_yolo_pipeline,
     serve_stream,
+    variables_from_npz,
 )
 
 BASELINE_FPS = 2000.0
@@ -70,14 +75,23 @@ def main():
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
 
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt is None:
+        default = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "examples", "results", f"bench_weights_{mode}.npz",
+        )
+        ckpt = default if os.path.exists(default) else ""
+    variables = variables_from_npz(ckpt) if ckpt else None
+
     if mode == "openpose":
-        pipeline = build_openpose_pipeline(stage=stage, pack=pack)
+        pipeline = build_openpose_pipeline(variables, stage=stage, pack=pack)
     elif mode == "popnet":
-        pipeline = build_popnet_pipeline(pack=pack)
+        pipeline = build_popnet_pipeline(variables, pack=pack)
     elif mode == "yolo":
-        pipeline = build_yolo_pipeline(pack=pack)
+        pipeline = build_yolo_pipeline(variables, pack=pack)
     elif mode == "yolo_a2j":
-        pipeline = build_yolo_a2j_pipeline(pack=pack)
+        pipeline = build_yolo_a2j_pipeline(yolo_variables=variables, pack=pack)
     else:
         raise SystemExit(f"unknown BENCH_MODEL {mode!r}")
     metric = f"{mode}_e2e_inference" if stage == "full" else f"{mode}_{stage}_only"

@@ -159,7 +159,7 @@ def score_limb_pairs_batched(
     thresh_paf: float = 0.05,
     factor: int = 8,
     limbs: tuple = LIMBS,
-    method: str = "upsample",
+    method: str = "onehot",
 ):
     """All src x dst pair scores per limb.
 
@@ -225,8 +225,12 @@ def score_limb_pairs_batched(
         # sampling the full separable upsample. Computing
         # up = Ry @ pafp @ Rx^T once per plane and reading points with one
         # batched take_along_axis keeps every operand small; the one-hot
-        # path's (B, L, N, Wp) selector operands (~4 GB at batch 256) never
-        # exist. Same cubic_w weights, same tap columns, same f32 ops.
+        # path's (B, L, N, Wp) selector operands (~1-4 GB at batch 256)
+        # never exist. Same cubic_w weights, same tap columns, same f32 ops.
+        # NOT the default: measured on v5e the minor-dim point gather
+        # serializes — 327 ms/batch-256 vs 17.9 ms for the one-hot matmul
+        # (scripts/profile_decode.py). Kept for hosts where HBM, not
+        # gather throughput, binds (and as an exact-parity cross-check).
         W_up, H_up = W * factor, H * factor
 
         def axis_table(n_out, n_pad):

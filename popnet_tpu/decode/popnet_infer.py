@@ -44,15 +44,10 @@ def _int_peaks_batched(heat: jnp.ndarray, thresh: float, max_peaks: int):
     is_peak = peak_mask(heat, thresh)
     s = jnp.where(is_peak, heat, -jnp.inf).transpose(0, 3, 1, 2).reshape(B, K, H * W)
 
-    def select(carry, _):
-        idx = jnp.argmax(carry, axis=-1)
-        val = jnp.take_along_axis(carry, idx[..., None], -1)[..., 0]
-        carry = jnp.where(jax.nn.one_hot(idx, H * W, dtype=bool), -jnp.inf, carry)
-        return carry, (idx, val)
-
-    _, (idx, val) = jax.lax.scan(select, s, None, length=max_peaks)
-    idx = jnp.moveaxis(idx, 0, -1)  # (B, K, N)
-    val = jnp.moveaxis(val, 0, -1)
+    # lax.top_k is stable (lower index first on ties) — identical selection
+    # to a max_peaks-step iterative masked argmax, in one fused op instead
+    # of a serial scan (which cost ~2x the whole prior decode at batch 512)
+    val, idx = jax.lax.top_k(s, max_peaks)  # (B, K, N)
     valid = jnp.isfinite(val)
     # row-major (scan) order like the host's np.nonzero, so downstream
     # nearest-peak argmin ties break identically (peaks_np.find_peaks)
@@ -167,9 +162,14 @@ def popnet_decode(
         d2 = jnp.where(
             pk_valid[:, None, :, None, :], dxp * dxp + dyp * dyp, jnp.inf
         )
-        nearest = jnp.argmin(d2, axis=-1)
-        far_x = jnp.take_along_axis(dxp, nearest[..., None], -1)[..., 0]
-        far_y = jnp.take_along_axis(dyp, nearest[..., None], -1)[..., 0]
+        # nearest-peak select as a one-hot reduction over the small N axis —
+        # a take_along_axis point gather here serializes on TPU (minor-dim
+        # gather), and N = max_peaks is tiny
+        nearest = jax.nn.one_hot(
+            jnp.argmin(d2, axis=-1), d2.shape[-1], dtype=dxp.dtype
+        )
+        far_x = jnp.sum(dxp * nearest, axis=-1)
+        far_y = jnp.sum(dyp * nearest, axis=-1)
         ra = float(ecfg.align_radius)
         in_box = (
             (jnp.abs(dxp) <= ra) & (jnp.abs(dyp) <= ra)

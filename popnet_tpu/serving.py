@@ -146,6 +146,43 @@ def unpack_outputs_q16(buf: np.ndarray, max_people: int, num_joints: int,
     }
 
 
+def variables_to_npz(variables, path):
+    """Flatten a Flax variables pytree into one .npz (keys = '/'-joined
+    tree paths). Cast leaves to float16 first to halve the file when
+    exactness is not needed; the loader restores whatever dtype was
+    saved."""
+    import numpy as onp
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in kp
+        )
+        out[key] = onp.asarray(leaf)
+    onp.savez_compressed(path, **out)
+
+
+def variables_from_npz(path, device=None, dtype=jnp.float32):
+    """Inverse of variables_to_npz: rebuild the nested variables dict.
+
+    dtype (default float32) restores the storage dtype the models were
+    initialized with, so a float16-saved file doesn't change compiled
+    compute dtypes; pass None to keep the on-disk dtype."""
+    import numpy as onp
+
+    data = onp.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        leaf = jnp.asarray(data[key])
+        node[parts[-1]] = leaf.astype(dtype) if dtype is not None else leaf
+    return jax.device_put(tree, device or jax.devices()[0])
+
+
 def init_variables(model, input_hw=(224, 224), device=None):
     """Initialize model variables on the host CPU (param init needs no
     accelerator and skips a slow remote compile), then put them on `device`

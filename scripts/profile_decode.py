@@ -64,6 +64,12 @@ def main():
         thresh_paf=DCFG.thresh_paf, factor=DCFG.downsample, limbs=LIMBS))
     scores, ok = timeit("score_limbs", score_fn, paf, peaks, pvalid)
 
+    score_up = jax.jit(lambda p, pk, pv: score_limb_pairs_batched(
+        p, pk, pv, num_intermed_pts=DCFG.num_intermed_pts,
+        thresh_paf=DCFG.thresh_paf, factor=DCFG.downsample, limbs=LIMBS,
+        method="upsample"))
+    timeit("score_limbs_upsample", score_up, paf, peaks, pvalid)
+
     asm_fn = jax.jit(lambda pk, pv, s, o: assemble_batched(
         pk, pv, s, o, limbs=LIMBS, max_people=DCFG.max_people,
         min_parts=DCFG.min_parts, min_score=DCFG.min_score))

@@ -111,3 +111,21 @@ def test_device_matches_host_many_seeds():
         jl, people = paf_np.paf_to_pose(heat[0].astype(np.float64), paf[0].astype(np.float64))
         host_h, _, _ = paf_to_human_list(jl, people)
         assert sorted_humans(dev_h) == sorted_humans(host_h), f"seed {seed}"
+
+
+def test_score_methods_agree():
+    """The two PAF-sampling formulations are the same math, associated
+    differently: 'onehot' (default — cubic taps folded into dense selector
+    matmuls; 18x faster on v5e, where minor-dim point gathers serialize)
+    vs 'upsample' (separable full-plane bicubic upsample + point gather;
+    HBM-lean). Scores and candidate masks must agree to float tolerance."""
+    for seed in (0, 5):
+        heat, paf = synth(200 + seed, n_people=2 + seed % 3)
+        peaks, valid = find_peaks_batched(jnp.asarray(heat))
+        s_oh, ok_oh = score_limb_pairs_batched(
+            jnp.asarray(paf), peaks, valid, method="onehot")
+        s_up, ok_up = score_limb_pairs_batched(
+            jnp.asarray(paf), peaks, valid, method="upsample")
+        np.testing.assert_allclose(
+            np.asarray(s_oh), np.asarray(s_up), atol=1e-5)
+        assert np.array_equal(np.asarray(ok_oh), np.asarray(ok_up))

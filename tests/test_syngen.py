@@ -27,10 +27,11 @@ SUMMARY = os.path.join(
 )
 
 # Floors with regression margin below the recorded 50k-step run
-# (the committed JSON has the exact values).
+# (universe final: 0.996 / 0.966 / 0.994 / 0.944 — the committed JSON has
+# the exact values and the full metric-vs-step curve).
 FLOORS = {
-    "universe": {"pck2d": 0.95, "pck3d": 0.85, "map2d": 0.95, "map3d": 0.80},
-    "gated": {"pck2d": 0.95, "pck3d": 0.60, "map2d": 0.95, "map3d": 0.45},
+    "universe": {"pck2d": 0.95, "pck3d": 0.88, "map2d": 0.95, "map3d": 0.85},
+    "gated": {"pck2d": 0.95, "pck3d": 0.65, "map2d": 0.95, "map3d": 0.55},
 }
 
 
