@@ -348,7 +348,7 @@ def cmd_evaluate(args):
 
     from popnet_tpu.cli import evaluate as ev
     from popnet_tpu.data.datasets import MPRealDataset
-    from popnet_tpu.train.checkpoint import restore_checkpoint
+    from popnet_tpu.train.checkpoint import restore_params
     from popnet_tpu.train.state import create_train_state
 
     import jax.numpy as jnp
@@ -363,7 +363,9 @@ def cmd_evaluate(args):
         model, jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 1))
     )
     if args.ckpt:
-        state, _, _ = restore_checkpoint(args.ckpt, state)
+        # template-free: works whatever optimizer wrote the checkpoint
+        params, batch_stats, _, _ = restore_params(args.ckpt)
+        state = state.replace(params=params, batch_stats=batch_stats)
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
@@ -419,7 +421,7 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
     from popnet_tpu.cli.yolo_a2j import run_yolo_a2j_eval
     from popnet_tpu.data.a2j_crops import CROP
     from popnet_tpu.data.datasets import MPRealDataset
-    from popnet_tpu.train.checkpoint import restore_checkpoint
+    from popnet_tpu.train.checkpoint import restore_params
     from popnet_tpu.train.state import create_train_state
 
     if not args.yolo_ckpt and not args.gt_boxes:
@@ -433,7 +435,8 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
         a2j, jax.random.PRNGKey(0), jnp.zeros((1, CROP, CROP, 1))
     )
     if args.ckpt:
-        a2j_state, _, _ = restore_checkpoint(args.ckpt, a2j_state)
+        params, batch_stats, _, _ = restore_params(args.ckpt)
+        a2j_state = a2j_state.replace(params=params, batch_stats=batch_stats)
     yolo = yolo_state = None
     if args.yolo_ckpt:
         yolo = _build_model("yolo")
@@ -441,7 +444,8 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
             yolo, jax.random.PRNGKey(0),
             jnp.zeros((1, args.input_size, args.input_size, 1)),
         )
-        yolo_state, _, _ = restore_checkpoint(args.yolo_ckpt, yolo_state)
+        yparams, ybs, _, _ = restore_params(args.yolo_ckpt)
+        yolo_state = yolo_state.replace(params=yparams, batch_stats=ybs)
 
     dataset = MPRealDataset(
         os.path.join(args.data_root, "depth_maps"),

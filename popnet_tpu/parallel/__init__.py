@@ -5,3 +5,9 @@ from popnet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from popnet_tpu.parallel.distributed import initialize, global_data_mesh  # noqa: F401
+from popnet_tpu.parallel.tensor import (  # noqa: F401
+    jit_step_tensor_parallel,
+    make_mesh_2d,
+    shard_state,
+    state_shardings,
+)

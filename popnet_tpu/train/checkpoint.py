@@ -52,3 +52,25 @@ def restore_checkpoint(directory: str, abstract_state: Any, step: int | None = N
         ),
     )
     return restored["state"], restored.get("metadata"), step
+
+
+def restore_params(directory: str, step: int | None = None):
+    """Restore only (params, batch_stats, metadata, step), template-free.
+
+    Evaluation / serving must not have to reconstruct the training-time
+    optimizer tree to read a checkpoint (the reference's torch.load has the
+    same property): the checkpoint is restored as saved — whatever optimizer
+    wrote it — and only the model leaves are returned.
+    """
+    mngr = _manager(directory)
+    if step is None:
+        step = mngr.latest_step()
+    restored = mngr.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(),
+            metadata=ocp.args.JsonRestore(),
+        ),
+    )
+    raw = restored["state"]
+    return raw["params"], raw.get("batch_stats"), restored.get("metadata"), step

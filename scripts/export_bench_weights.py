@@ -37,22 +37,13 @@ def _to_f16(tree):
 
 
 def export_popnet(ckpt_dir, step):
-    from popnet_tpu.models import PopNet
     from popnet_tpu.serving import variables_to_npz
-    from popnet_tpu.train.checkpoint import restore_checkpoint
-    from popnet_tpu.train.state import create_train_state
+    from popnet_tpu.train.checkpoint import restore_params
 
-    # the syngen trainer's state structure: adam + inject_hyperparams
-    with jax.default_device(jax.devices("cpu")[0]):
-        state = create_train_state(
-            PopNet(), jax.random.PRNGKey(0),
-            np.zeros((1, 224, 224, 1), np.float32),
-            learning_rate=0.001, optimizer="adam",
-        )
-    state, _, got = restore_checkpoint(ckpt_dir, state, step=step)
-    variables = {"params": state.params}
-    if state.batch_stats is not None:
-        variables["batch_stats"] = state.batch_stats
+    params, batch_stats, _, got = restore_params(ckpt_dir, step=step)
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
     path = os.path.join(OUT_DIR, "bench_weights_popnet.npz")
     variables_to_npz(_to_f16(variables), path)
     print(f"popnet step {got} -> {path} ({os.path.getsize(path)/1e6:.1f} MB)")
