@@ -77,11 +77,17 @@ def main():
 
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt is None:
-        default = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "examples", "results", f"bench_weights_{mode}.npz",
+        results = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "examples", "results"
         )
-        ckpt = default if os.path.exists(default) else ""
+        # yolo_a2j's BENCH_CKPT is its stage-1 detector -> the yolo weights
+        names = [f"bench_weights_{mode}.npz"]
+        if mode == "yolo_a2j":
+            names.append("bench_weights_yolo.npz")
+        ckpt = next(
+            (p for n in names if os.path.exists(p := os.path.join(results, n))),
+            "",
+        )
     variables = variables_from_npz(ckpt) if ckpt else None
 
     if mode == "openpose":

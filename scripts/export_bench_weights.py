@@ -93,16 +93,43 @@ def train_openpose(epochs):
           f"({os.path.getsize(path)/1e6:.1f} MB)")
 
 
+def train_yolo(epochs):
+    """Short Yolo-Pose+ train via the CLI recipe -> bench_weights_yolo.npz
+    (realistic prior-decode confidence/NMS occupancy for the yolo and
+    yolo_a2j bench rows)."""
+    from popnet_tpu.cli.main import main as cli
+    from popnet_tpu.serving import variables_to_npz
+    from popnet_tpu.train.checkpoint import restore_params
+    from tests import synthetic_data
+
+    root = "/tmp/bench_weights_data"
+    synthetic_data.build(root, n_images=96, seed=0)
+    run = "/tmp/bench_weights_yolo_run"
+    cli(["train", "--model", "yolo", "--data-root", root,
+         "--epochs", str(epochs), "--batch-size", "16", "--lr", "0.05",
+         "--out-dir", run])
+    params, batch_stats, _, _ = restore_params(os.path.join(run, "ckpt"))
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    path = os.path.join(OUT_DIR, "bench_weights_yolo.npz")
+    variables_to_npz(_to_f16(variables), path)
+    print(f"yolo {epochs} epochs -> {path} ({os.path.getsize(path)/1e6:.1f} MB)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--popnet-ckpt", default=None)
     ap.add_argument("--popnet-step", type=int, default=None)
     ap.add_argument("--train-openpose", type=int, default=0)
+    ap.add_argument("--train-yolo", type=int, default=0)
     args = ap.parse_args()
     if args.popnet_ckpt:
         export_popnet(args.popnet_ckpt, args.popnet_step)
     if args.train_openpose:
         train_openpose(args.train_openpose)
+    if args.train_yolo:
+        train_yolo(args.train_yolo)
 
 
 if __name__ == "__main__":
