@@ -159,7 +159,7 @@ def score_limb_pairs_batched(
     thresh_paf: float = 0.05,
     factor: int = 8,
     limbs: tuple = LIMBS,
-    method: str = "onehot",
+    method: str | None = None,
 ):
     """All src x dst pair scores per limb.
 
@@ -167,7 +167,13 @@ def score_limb_pairs_batched(
     PAF-sample criterion, the positive penalized-score criterion, and pair
     validity — the exact candidate set of the reference's
     find_connected_joints (reference: paf_to_pose.py:156-264).
+
+    method: None auto-selects "pallas" (VMEM tap-selection kernel) on TPU
+    and "onehot" elsewhere; all three methods are exact-parity-tested
+    against each other (tests/test_pallas_kernels.py, test_decode_device.py).
     """
+    if method is None:
+        method = "pallas" if jax.default_backend() == "tpu" else "onehot"
     limbs_arr = np.asarray(limbs)
     B, H, W, _ = pafs.shape
     M = peaks.shape[2]
@@ -181,6 +187,37 @@ def score_limb_pairs_batched(
     d = dst[:, :, None, :, :2] - src[:, :, :, None, :2]  # (B, L, Ms, Md, 2)
     dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + 1e-8
     u = d / dist[..., None]
+
+    if method == "pallas":
+        # VMEM-resident tap selection (ops/pallas_kernels.paf_sample_pallas):
+        # only pair-level (B, L, M, M) geometry and sums/counts touch HBM —
+        # the point-level (B, L, N, ...) expansions of the XLA paths never
+        # materialize. Same tap math, parity-tested vs "onehot".
+        from popnet_tpu.ops.pallas_kernels import paf_sample_pallas
+
+        paf_l = pafs.transpose(0, 3, 1, 2).reshape(B, L, 2, H, W)
+        pafp = jnp.pad(
+            paf_l, ((0, 0), (0, 0), (0, 0), (2, 2), (2, 2)), mode="edge"
+        )
+        pafT = pafp.transpose(0, 1, 2, 4, 3)  # (B, L, 2, Wp, Hp)
+        Pn = M * M
+        pair = (B, L, M, M)
+        flat = lambda a2: jnp.broadcast_to(a2, pair).reshape(B, L, Pn)
+        psum, pcnt = paf_sample_pallas(
+            pafT,
+            flat(src[:, :, :, None, 0]), flat(src[:, :, :, None, 1]),
+            d[..., 0].reshape(B, L, Pn), d[..., 1].reshape(B, L, Pn),
+            u[..., 0].reshape(B, L, Pn), u[..., 1].reshape(B, L, Pn),
+            num_pts=num_intermed_pts, factor=factor, thresh=thresh_paf,
+            interpret=jax.default_backend() != "tpu",
+        )
+        mean_score = psum.reshape(pair) / num_intermed_pts
+        penalty = jnp.minimum(0.5 * (H * factor) / dist - 1.0, 0.0)
+        score = mean_score + penalty
+        crit1 = pcnt.reshape(pair) > 0.8 * num_intermed_pts
+        crit2 = score > 0
+        ok = crit1 & crit2 & src_ok[:, :, :, None] & dst_ok[:, :, None, :]
+        return score, ok
 
     ts = jnp.linspace(0.0, 1.0, num_intermed_pts)
     pts = src[:, :, :, None, None, :2] + d[:, :, :, :, None, :] * ts[None, None, None, None, :, None]

@@ -68,7 +68,14 @@ def main():
         p, pk, pv, num_intermed_pts=DCFG.num_intermed_pts,
         thresh_paf=DCFG.thresh_paf, factor=DCFG.downsample, limbs=LIMBS,
         method="upsample"))
-    timeit("score_limbs_upsample", score_up, paf, peaks, pvalid)
+    if os.environ.get("PROF_UPSAMPLE"):
+        timeit("score_limbs_upsample", score_up, paf, peaks, pvalid)
+
+    score_pl = jax.jit(lambda p, pk, pv: score_limb_pairs_batched(
+        p, pk, pv, num_intermed_pts=DCFG.num_intermed_pts,
+        thresh_paf=DCFG.thresh_paf, factor=DCFG.downsample, limbs=LIMBS,
+        method="pallas"))
+    timeit("score_limbs_pallas", score_pl, paf, peaks, pvalid)
 
     asm_fn = jax.jit(lambda pk, pv, s, o: assemble_batched(
         pk, pv, s, o, limbs=LIMBS, max_people=DCFG.max_people,
