@@ -53,7 +53,10 @@ def _upsample_matrix(size: int, factor: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_peaks", "thresh", "factor", "win_size", "num_joints")
+    jax.jit,
+    static_argnames=(
+        "max_peaks", "thresh", "factor", "win_size", "num_joints", "refine"
+    ),
 )
 def find_peaks_batched(
     heat: jnp.ndarray,  # (B, H, W, C)
@@ -62,13 +65,22 @@ def find_peaks_batched(
     factor: int = 8,
     win_size: int = 2,
     num_joints: int = 15,
+    refine: str | None = None,
 ):
     """Top-K peaks per joint with sub-pixel refinement.
 
     Returns peaks (B, K, max_peaks, 3) of (x, y, score) in upsampled-image
     coordinates and n_valid mask (B, K, max_peaks).
+
+    refine: None auto-selects the "pallas" VMEM kernel on TPU (the XLA
+    einsum path's (B, K, M, S, S) upsampled windows never touch HBM) and
+    the "xla" einsum formulation elsewhere; parity pinned in
+    tests/test_pallas_kernels.py.
     """
-    from popnet_tpu.ops.pallas_kernels import peak_mask
+    from popnet_tpu.ops.pallas_kernels import peak_mask, subpixel_refine_pallas
+
+    if refine is None:
+        refine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     B, H, W, _ = heat.shape
     h = heat[..., :num_joints]
@@ -101,38 +113,46 @@ def find_peaks_batched(
     )
     Hp, Wp = H + 2 * win_size, W + 2 * win_size
 
-    U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (S, 5)
-    offs = jnp.arange(size)
-    rowsel = jax.nn.one_hot(py[..., None] + offs, Hp, dtype=heat.dtype)  # (B,K,M,5,Hp)
-    colsel = jax.nn.one_hot(px[..., None] + offs, Wp, dtype=heat.dtype)  # (B,K,M,5,Wp)
-    # patch-first association: extract the 5x5 patches with the one-hot
-    # selectors, THEN upsample with U. Same contractions as upsampling the
-    # selectors first, but the largest intermediate shrinks from
-    # (B,K,M,S,Hp) f32 (~300 MB at batch 256) to (B,K,M,5,Wp) (~37 MB) —
-    # the refine stage is HBM-bound, so association order is the cost.
-    tmp = jnp.einsum("bkmih,bkhw->bkmiw", rowsel, hpad)    # (B,K,M,5,Wp)
-    patch = jnp.einsum("bkmiw,bkmjw->bkmij", tmp, colsel)  # (B,K,M,5,5)
-    upA = jnp.einsum("si,bkmij->bkmsj", U, patch)          # (B,K,M,S,5)
-    up = jnp.einsum("bkmsj,tj->bkmst", upA, U)             # (B,K,M,S,S)
     S = size * factor
+    if refine == "pallas":
+        loc, peak_score = subpixel_refine_pallas(
+            hpad, px.astype(jnp.int32), py.astype(jnp.int32),
+            win_size=win_size, factor=factor,
+            interpret=jax.default_backend() != "tpu",
+        )
+        peak_score = peak_score.astype(heat.dtype)
+    else:
+        U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (S, 5)
+        offs = jnp.arange(size)
+        rowsel = jax.nn.one_hot(py[..., None] + offs, Hp, dtype=heat.dtype)  # (B,K,M,5,Hp)
+        colsel = jax.nn.one_hot(px[..., None] + offs, Wp, dtype=heat.dtype)  # (B,K,M,5,Wp)
+        # patch-first association: extract the 5x5 patches with the one-hot
+        # selectors, THEN upsample with U. Same contractions as upsampling the
+        # selectors first, but the largest intermediate shrinks from
+        # (B,K,M,S,Hp) f32 (~300 MB at batch 256) to (B,K,M,5,Wp) (~37 MB) —
+        # the refine stage is HBM-bound, so association order is the cost.
+        tmp = jnp.einsum("bkmih,bkhw->bkmiw", rowsel, hpad)    # (B,K,M,5,Wp)
+        patch = jnp.einsum("bkmiw,bkmjw->bkmij", tmp, colsel)  # (B,K,M,5,5)
+        upA = jnp.einsum("si,bkmij->bkmsj", U, patch)          # (B,K,M,S,5)
+        up = jnp.einsum("bkmsj,tj->bkmst", upA, U)             # (B,K,M,S,S)
 
-    # restrict the argmax to the window the reference's shrunken border
-    # patch covers — with edge clamping the values inside that window are
-    # identical to resizing the smaller patch, so border peaks are exact too
-    # (reference: paf_to_pose.py:118-127 crops the patch at image borders)
-    kx0 = jnp.maximum(0, win_size - px)[..., None]           # (B, K, M, 1)
-    kx1 = win_size + jnp.minimum(W - 1 - px, win_size)[..., None]
-    ky0 = jnp.maximum(0, win_size - py)[..., None]
-    ky1 = win_size + jnp.minimum(H - 1 - py, win_size)[..., None]
-    cols = jnp.arange(S) // factor
-    col_ok = (cols[None, None, None, :] >= kx0) & (cols[None, None, None, :] <= kx1)
-    row_ok = (cols[None, None, None, :] >= ky0) & (cols[None, None, None, :] <= ky1)
-    window = row_ok[..., :, None] & col_ok[..., None, :]     # (B, K, M, S, S)
-    up = jnp.where(window, up, -jnp.inf)
+        # restrict the argmax to the window the reference's shrunken border
+        # patch covers — with edge clamping the values inside that window are
+        # identical to resizing the smaller patch, so border peaks are exact too
+        # (reference: paf_to_pose.py:118-127 crops the patch at image borders)
+        kx0 = jnp.maximum(0, win_size - px)[..., None]           # (B, K, M, 1)
+        kx1 = win_size + jnp.minimum(W - 1 - px, win_size)[..., None]
+        ky0 = jnp.maximum(0, win_size - py)[..., None]
+        ky1 = win_size + jnp.minimum(H - 1 - py, win_size)[..., None]
+        cols = jnp.arange(S) // factor
+        col_ok = (cols[None, None, None, :] >= kx0) & (cols[None, None, None, :] <= kx1)
+        row_ok = (cols[None, None, None, :] >= ky0) & (cols[None, None, None, :] <= ky1)
+        window = row_ok[..., :, None] & col_ok[..., None, :]     # (B, K, M, S, S)
+        up = jnp.where(window, up, -jnp.inf)
 
-    up_flat = up.reshape(B, num_joints, max_peaks, S * S)
-    loc = jnp.argmax(up_flat, axis=-1)
-    peak_score = jnp.max(up_flat, axis=-1)
+        up_flat = up.reshape(B, num_joints, max_peaks, S * S)
+        loc = jnp.argmax(up_flat, axis=-1)
+        peak_score = jnp.max(up_flat, axis=-1)
     loc_y = loc // S
     loc_x = loc % S
 

@@ -37,6 +37,7 @@ def window_readout_heat_weighted(
     cx: jnp.ndarray,         # (B, P, K) int32 window centers (grid coords)
     cy: jnp.ndarray,
     radius: int = 1,
+    use_pallas: bool | None = None,
 ):
     """Batched retrieve_depth_heat_weighted (reference: common.py:272-293).
 
@@ -44,7 +45,19 @@ def window_readout_heat_weighted(
     borders (and collapses to the edge cell for centers outside the map),
     exactly like the host _window helper. Negative heat clamps to 0; every
     true window element gets the +1e-9 stabilizer.
+
+    use_pallas: None auto-selects the VMEM kernel on TPU (parity pinned in
+    tests/test_pallas_kernels.py); the XLA einsum path runs elsewhere.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from popnet_tpu.ops.pallas_kernels import window_readout_pallas
+
+        return window_readout_pallas(
+            depthmaps, heatmaps, cx, cy, radius=radius,
+            interpret=jax.default_backend() != "tpu",
+        ).astype(depthmaps.dtype)
     B, H, W, K = depthmaps.shape
     S = 2 * radius + 1
     t = jnp.arange(S)
@@ -132,7 +145,16 @@ def openpose_decode(
     Hi, Wi = raw.shape[1], raw.shape[2]
     rx = jnp.clip(x_up, 0, Wi - 1).astype(jnp.int32)
     ry = jnp.clip(y_up, 0, Hi - 1).astype(jnp.int32)
-    z_raw = raw[jnp.arange(raw.shape[0])[:, None, None], ry, rx]
+    if jax.default_backend() == "tpu":
+        # point gathers serialize on TPU — one-hot matmul kernel instead
+        from popnet_tpu.ops.pallas_kernels import point_readout_pallas
+
+        P_, K_ = rx.shape[1], rx.shape[2]
+        z_raw = point_readout_pallas(
+            raw, rx.reshape(-1, P_ * K_), ry.reshape(-1, P_ * K_)
+        ).reshape(rx.shape).astype(raw.dtype)
+    else:
+        z_raw = raw[jnp.arange(raw.shape[0])[:, None, None], ry, rx]
 
     z_pose = jnp.where(vis, z_pose, -1.0)
     z_raw = jnp.where(vis, z_raw, -1.0)

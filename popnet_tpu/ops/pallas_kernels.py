@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -159,6 +160,231 @@ def paf_sample_pallas(pafT, srcx, srcy, dx, dy, ux, uy,
         out_specs=(flat, flat),
         interpret=interpret,
     )(pafT, srcx, srcy, dx, dy, ux, uy)
+
+
+def _refine_kernel(hpad_ref, px_ref, py_ref, q_ref, loc_ref, score_ref,
+                   *, num_joints, m, size, win_size, factor, h, w, hp, wp):
+    planes = hpad_ref[0]      # (K, Hp, Wp) edge-padded heat, f32
+    PX = px_ref[0]            # (K, M) int32 integer peak coords
+    PY = py_ref[0]
+    Q = q_ref[:, :]           # (size*size, S*S): Q[i*size+j, s*S+t] = U[s,i]U[t,j]
+    S = size * factor
+    S2 = S * S
+    neg = jnp.float32(-jnp.inf)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (m, hp), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (m, wp), 1)
+    lane25 = jax.lax.broadcasted_iota(jnp.int32, (m, size * size), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (m, S2), 1)
+    swin = (qpos // S) // factor     # source row of upsampled cell
+    twin = (qpos % S) // factor      # source col
+
+    for k in range(num_joints):
+        px = PX[k][:, None]          # (M, 1)
+        py = PY[k][:, None]
+        # 5x5 patch per peak, rows via one-hot matmul, cols via masked sums
+        patch = jnp.zeros((m, size * size), jnp.float32)
+        for i in range(size):
+            rmask = (iota_h == py + i).astype(jnp.float32)        # (M, Hp)
+            ti = jnp.dot(rmask, planes[k],
+                         preferred_element_type=jnp.float32)      # (M, Wp)
+            for j in range(size):
+                val = jnp.sum(
+                    jnp.where(iota_w == px + j, ti, 0.0),
+                    axis=1, keepdims=True,
+                )                                                 # (M, 1)
+                patch = patch + jnp.where(
+                    lane25 == i * size + j, val, 0.0
+                )
+        up = jnp.dot(patch, Q, preferred_element_type=jnp.float32)  # (M, S2)
+        # restrict to the window the reference's shrunken border patch
+        # covers (same bounds as the XLA path in find_peaks_batched)
+        kx0 = jnp.maximum(0, win_size - px)
+        kx1 = win_size + jnp.minimum(w - 1 - px, win_size)
+        ky0 = jnp.maximum(0, win_size - py)
+        ky1 = win_size + jnp.minimum(h - 1 - py, win_size)
+        ok = (swin >= ky0) & (swin <= ky1) & (twin >= kx0) & (twin <= kx1)
+        upm = jnp.where(ok, up, neg)
+        loc_ref[0, k] = jnp.argmax(upm, axis=1).astype(jnp.int32)
+        score_ref[0, k] = jnp.max(upm, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_size", "factor", "interpret")
+)
+def subpixel_refine_pallas(hpad, px, py, win_size: int = 2,
+                           factor: int = 8, interpret: bool = False):
+    """Windowed bicubic subpixel refinement, VMEM-resident.
+
+    The XLA formulation (find_peaks_batched) is three one-hot einsums whose
+    (B, K, M, S, S) upsampled windows (~400 MB at batch 256) round-trip HBM
+    only to be argmax'd. Here each batch row keeps its (K, Hp, Wp) heat
+    planes in VMEM, extracts the 5x5 patches with iota-compare selectors,
+    upsamples with ONE (M, 25) x (25, S*S) MXU matmul against the
+    precomputed Kronecker matrix Q[ij, st] = U[s,i]U[t,j], and argmaxes the
+    reference's border-shrunken window in registers; only (B, K, M)
+    loc/score leave. Same cubic taps / window bounds as the XLA path
+    (association of the two U contractions differs -> <=1 ulp value jitter;
+    parity is pinned in tests/test_pallas_kernels.py).
+
+    hpad: (B, K, Hp, Wp) f32 edge-padded (win_size) heat planes.
+    px, py: (B, K, M) int32 integer peak coords in the unpadded grid.
+    Returns (loc, score): (B, K, M) int32 flat argmax in the S*S window
+    and its value.
+    """
+    from popnet_tpu.decode.device import _upsample_matrix
+
+    B, K, Hp, Wp = hpad.shape
+    M = px.shape[-1]
+    size = 2 * win_size + 1
+    S = size * factor
+    U = _upsample_matrix(size, factor)                      # (S, size)
+    Q = jnp.asarray(
+        np.einsum("si,tj->ijst", U, U).reshape(size * size, S * S),
+        jnp.float32,
+    )
+    kernel = functools.partial(
+        _refine_kernel, num_joints=K, m=M, size=size, win_size=win_size,
+        factor=factor, h=Hp - 2 * win_size, w=Wp - 2 * win_size, hp=Hp, wp=Wp,
+    )
+    km = pl.BlockSpec((1, K, M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, M), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, Hp, Wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            km, km,
+            pl.BlockSpec((size * size, S * S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(km, km),
+        interpret=interpret,
+    )(hpad.astype(jnp.float32), px, py, Q)
+
+
+def _window_readout_kernel(zh_ref, hrelu_ref, z_ref, cx_ref, cy_ref, out_ref,
+                           *, num_joints, p, radius, h, w):
+    ZH = zh_ref[0]        # (K, H, W) z * relu(heat)
+    HR = hrelu_ref[0]     # (K, H, W) relu(heat)
+    Z = z_ref[0]          # (K, H, W) z
+    CX = cx_ref[0]        # (K, P) int32 window centers, joint-major
+    CY = cy_ref[0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+
+    for k in range(num_joints):
+        cx = CX[k][:, None]   # (P, 1)
+        cy = CY[k][:, None]
+        x0 = jnp.clip(cx - radius, 0, w - 1)
+        x1 = jnp.clip(cx + radius, 0, w - 1)
+        y0 = jnp.clip(cy - radius, 0, h - 1)
+        y1 = jnp.clip(cy + radius, 0, h - 1)
+        rm = ((iota_h >= y0) & (iota_h <= y1)).astype(jnp.float32)  # (P, H)
+        cmask = (iota_w >= x0) & (iota_w <= x1)                     # (P, W)
+
+        def wsum(plane):
+            rows = jnp.dot(rm, plane, preferred_element_type=jnp.float32)
+            return jnp.sum(jnp.where(cmask, rows, 0.0), axis=1, keepdims=True)
+
+        s_zh = wsum(ZH[k])
+        s_h = wsum(HR[k])
+        s_z = wsum(Z[k])
+        cnt = ((y1 - y0 + 1) * (x1 - x0 + 1)).astype(jnp.float32)
+        out = (s_zh + 1e-9 * s_z) / (s_h + 1e-9 * cnt)
+        out_ref[0, k] = out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def window_readout_pallas(depthmaps, heatmaps, cx, cy,
+                          radius: int = 1, interpret: bool = False):
+    """Heat-weighted window readout (retrieve_depth_heat_weighted,
+    reference: common.py:272-293), VMEM-resident.
+
+    Same clipped-inclusive-window semantics as
+    decode/openpose_infer.window_readout_heat_weighted: numerator
+    sum z*(relu(h)+1e-9), denominator sum (relu(h)+1e-9) over the
+    border-shrunken window. The XLA einsum path stages (B, P, K, S, H)
+    one-hot selectors through HBM; here each batch row keeps its (K, H, W)
+    planes in VMEM and emits only (B, P, K) readouts.
+
+    depthmaps/heatmaps: (B, H, W, K); cx, cy: (B, P, K) int32 centers.
+    Returns (B, P, K) f32.
+    """
+    B, H, W, K = depthmaps.shape
+    P = cx.shape[1]
+    z = depthmaps.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, K, H, W)
+    hr = jnp.maximum(heatmaps, 0.0).transpose(0, 3, 1, 2).astype(jnp.float32)
+    zh = z * hr
+    cxk = cx.transpose(0, 2, 1).astype(jnp.int32)            # (B, K, P)
+    cyk = cy.transpose(0, 2, 1).astype(jnp.int32)
+    kernel = functools.partial(
+        _window_readout_kernel, num_joints=K, p=P, radius=radius, h=H, w=W,
+    )
+    plane = pl.BlockSpec((1, K, H, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kp = pl.BlockSpec((1, K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, K, P), jnp.float32),
+        grid=(B,),
+        in_specs=[plane, plane, plane, kp, kp],
+        out_specs=kp,
+        interpret=interpret,
+    )(zh, hr, z, cxk, cyk)
+    return out.transpose(0, 2, 1)                            # (B, P, K)
+
+
+def _point_readout_kernel(img_ref, cx_ref, cy_ref, out_ref, *, p, h, w):
+    img = img_ref[0]      # (H, W)
+    CX = cx_ref[0, 0]     # (P,) — stored (1, 1, P); clipped by caller
+    CY = cy_ref[0, 0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    rm = (iota_h == CY[:, None]).astype(jnp.float32)           # (P, H)
+    rows = jnp.dot(rm, img, preferred_element_type=jnp.float32)  # (P, W)
+    val = jnp.sum(jnp.where(iota_w == CX[:, None], rows, 0.0), axis=1)
+    out_ref[0, 0] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def point_readout_pallas(img, cx, cy, interpret: bool = False):
+    """img[b, cy, cx] point readout without a TPU gather.
+
+    Point gathers on the minor dims serialize on TPU (NOTES.md §21); this
+    kernel keeps each (H, W) plane in VMEM and reads all P points of a
+    batch row with one one-hot matmul + masked reduce. The point arrays
+    ride as (B, 1, P) blocks (Mosaic requires the last two block dims to
+    divide (8, 128) or equal the array dims).
+
+    img: (B, H, W) f32; cx, cy: (B, P) int32, already clipped in-range.
+    Returns (B, P) f32.
+    """
+    B, H, W = img.shape
+    P = cx.shape[-1]
+    kernel = functools.partial(_point_readout_kernel, p=P, h=H, w=W)
+    pt = pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pt, pt,
+        ],
+        out_specs=pt,
+        interpret=interpret,
+    )(
+        img.astype(jnp.float32),
+        cx.astype(jnp.int32).reshape(B, 1, P),
+        cy.astype(jnp.int32).reshape(B, 1, P),
+    )
+    return out.reshape(B, P)
 
 
 def peak_mask(heat: jnp.ndarray, thresh: float, use_pallas: bool | None = None):

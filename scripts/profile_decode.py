@@ -57,6 +57,11 @@ def main():
     peaks_fn = jax.jit(lambda h: find_peaks_batched(
         h, max_peaks=DCFG.max_peaks, thresh=DCFG.thresh_heatmap,
         factor=DCFG.downsample, win_size=DCFG.win_size, num_joints=K))
+    peaks_xla = jax.jit(lambda h: find_peaks_batched(
+        h, max_peaks=DCFG.max_peaks, thresh=DCFG.thresh_heatmap,
+        factor=DCFG.downsample, win_size=DCFG.win_size, num_joints=K,
+        refine="xla"))
+    timeit("find_peaks_xla_refine", peaks_xla, heat)
     peaks, pvalid = timeit("find_peaks", peaks_fn, heat)
 
     score_fn = jax.jit(lambda p, pk, pv: score_limb_pairs_batched(
@@ -84,6 +89,9 @@ def main():
 
     gx = (joints[..., 0] / DCFG.downsample).astype(jnp.int32)
     gy = (joints[..., 1] / DCFG.downsample).astype(jnp.int32)
+    read_xla = jax.jit(lambda z, h, x, y: window_readout_heat_weighted(
+        z, h[..., :K], x, y, use_pallas=False))
+    timeit("z_readout_xla", read_xla, zmap, heat, gx, gy)
     read_fn = jax.jit(lambda z, h, x, y: window_readout_heat_weighted(
         z, h[..., :K], x, y))
     timeit("z_readout", read_fn, zmap, heat, gx, gy)

@@ -20,6 +20,67 @@ def test_peak_mask_pallas_matches_jnp():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_subpixel_refine_pallas_matches_xla():
+    """The VMEM refine kernel reproduces the XLA einsum refinement:
+    identical argmax cell (=> identical subpixel coords) and window score
+    on random heatmaps, including border peaks."""
+    rng = np.random.default_rng(11)
+    B = 2
+    heat = rng.uniform(0, 1, (B, 28, 28, 16)).astype(np.float32)
+    # force some border peaks
+    heat[0, 0, 3, 0] = 5.0
+    heat[0, 27, 27, 1] = 5.0
+    heat[1, 5, 0, 2] = 5.0
+
+    pk_x, vx = find_peaks_batched(jnp.asarray(heat), refine="xla")
+    pk_p, vp = find_peaks_batched(jnp.asarray(heat), refine="pallas")
+    np.testing.assert_array_equal(np.asarray(vx), np.asarray(vp))
+    v = np.asarray(vx)
+    np.testing.assert_allclose(
+        np.asarray(pk_p)[v], np.asarray(pk_x)[v], atol=1e-5
+    )
+
+
+def test_window_readout_pallas_matches_xla():
+    """The VMEM window-readout kernel reproduces the XLA einsum
+    retrieve_depth_heat_weighted, including border-shrunken and collapsed
+    (center outside the map) windows."""
+    from popnet_tpu.decode.openpose_infer import window_readout_heat_weighted
+
+    rng = np.random.default_rng(3)
+    B, H, W, K, P = 2, 28, 28, 15, 6
+    z = rng.uniform(0.5, 6.0, (B, H, W, K)).astype(np.float32)
+    heat = rng.uniform(-0.2, 1.0, (B, H, W, K)).astype(np.float32)
+    cx = rng.integers(-3, W + 3, (B, P, K)).astype(np.int32)
+    cy = rng.integers(-3, H + 3, (B, P, K)).astype(np.int32)
+
+    ref = window_readout_heat_weighted(
+        jnp.asarray(z), jnp.asarray(heat), jnp.asarray(cx), jnp.asarray(cy),
+        use_pallas=False,
+    )
+    got = window_readout_heat_weighted(
+        jnp.asarray(z), jnp.asarray(heat), jnp.asarray(cx), jnp.asarray(cy),
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_point_readout_pallas_matches_gather():
+    """One-hot-matmul point readout equals advanced-indexing gather."""
+    from popnet_tpu.ops.pallas_kernels import point_readout_pallas
+
+    rng = np.random.default_rng(5)
+    B, H, W, P = 3, 64, 48, 17
+    img = rng.uniform(0.5, 6.0, (B, H, W)).astype(np.float32)
+    cx = rng.integers(0, W, (B, P)).astype(np.int32)
+    cy = rng.integers(0, H, (B, P)).astype(np.int32)
+    ref = img[np.arange(B)[:, None], cy, cx]
+    got = point_readout_pallas(
+        jnp.asarray(img), jnp.asarray(cx), jnp.asarray(cy), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+
 def test_paf_sample_pallas_matches_onehot():
     """The VMEM tap-selection kernel reproduces the one-hot-matmul PAF
     scorer (same cubic taps, same rounding, same criteria inputs)."""
