@@ -40,7 +40,9 @@ from popnet_tpu.core.skeleton import LIMBS
 
 @functools.partial(
     jax.jit,
-    static_argnames=("limbs", "max_people", "min_parts", "min_score", "slots"),
+    static_argnames=(
+        "limbs", "max_people", "min_parts", "min_score", "slots", "method"
+    ),
 )
 def assemble_batched(
     peaks: jnp.ndarray,       # (B, K, M, 3) float32 (x, y, score)
@@ -52,23 +54,44 @@ def assemble_batched(
     min_parts: int = 3,
     min_score: float = 0.2,
     slots: int | None = None,
+    method: str | None = None,
 ):
     """Batched greedy assembly; returns (joints (B, max_people, K, 3),
     counts (B,)) — the same contract as native.assemble_batch_native.
 
     `slots` bounds the live-person table; the default L*M is a strict upper
     bound (every person is created by exactly one accepted connection).
+
+    method: "scan" (default) is the batched XLA formulation — it vectorizes
+    every merge step over the whole batch, which on TPU beats the
+    "pallas" per-row VMEM kernel (decode/assemble_pallas.py) 9x: a
+    grid-per-batch-row kernel SERIALIZES B x L*M tiny iterations on one
+    TensorCore (measured 64 vs 7 ms/b256 — NOTES.md). The kernel stays as
+    an exact-parity variant (tests/test_assemble_device.py) and as the
+    starting point for a batch-tiled rewrite if assembly ever dominates.
     """
     limbs_arr = np.asarray(limbs, dtype=np.int32)
     B, K, M, _ = peaks.shape
     L = limbs_arr.shape[0]
     P = int(slots) if slots is not None else L * M
+    if method is None:
+        method = "scan"
 
     scores = scores.astype(jnp.float32)
     peaks = peaks.astype(jnp.float32)
 
     # ---- stage 1: per-limb greedy 1-1 matching, descending score ----------
     s0 = jnp.where(ok, scores, -jnp.inf)  # (B, L, M, M)
+
+    if method == "pallas":
+        from popnet_tpu.decode.assemble_pallas import assemble_ids_pallas
+
+        out_ids, counts = assemble_ids_pallas(
+            peaks[..., 2], s0, limbs=limbs, max_people=max_people,
+            min_parts=min_parts, min_score=min_score,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return _emit_joints(peaks, out_ids, counts, M)
 
     def pick(s, _):
         flat = s.reshape(B, L, M * M)
@@ -206,9 +229,15 @@ def assemble_batched(
         jnp.where(keep[:, :, None], ids, -1)
     )[:, :max_people]
 
+    return _emit_joints(peaks, out_ids, counts, M)
+
+
+def _emit_joints(peaks, out_ids, counts, M):
+    """Packed peak-id table -> (joints (B, Pout, K, 3), counts)."""
+    B, K = peaks.shape[0], peaks.shape[1]
     idx_cl = jnp.clip(out_ids, 0, M - 1)  # (B, Pout, K)
     g = peaks[
-        barange[:, None, None],
+        jnp.arange(B)[:, None, None],
         jnp.arange(K)[None, None, :],
         idx_cl,
     ]  # (B, Pout, K, 3)

@@ -42,6 +42,14 @@ def check_case(peaks, valid, scores, ok):
     )
     dev_j, dev_c = np.asarray(dev_j), np.asarray(dev_c)
 
+    # the VMEM Pallas assembler (interpret mode off-TPU) is bit-identical
+    pl_j, pl_c = assemble_batched(
+        jnp.asarray(peaks), jnp.asarray(valid), jnp.asarray(scores),
+        jnp.asarray(ok), method="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(pl_c), dev_c)
+    np.testing.assert_array_equal(np.asarray(pl_j), dev_j)
+
     ref_j, ref_c = numpy_oracle(peaks, valid, scores, ok)
     np.testing.assert_array_equal(dev_c, ref_c)
     for b in range(peaks.shape[0]):
