@@ -106,6 +106,14 @@ def main():
         cached = next(iter(ds.iter_batches(batch_size, prefetch=0)))
         state = trainer.state
         step_iters = max(steps, 8)
+        step_flops = None
+        try:
+            cost = trainer.step_fn.lower(state, cached).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            step_flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
         state, logs = trainer.step_fn(state, cached)
         float(logs["loss"])
         t0 = time.perf_counter()
@@ -115,6 +123,11 @@ def main():
         dt_step = time.perf_counter() - t0
         assert np.isfinite(lval)
 
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        mfu = (
+            round(step_flops * step_iters / dt_step / peak, 4)
+            if step_flops else None
+        )
         print(json.dumps({
             "metric": "popnet_train_throughput",
             "pipeline": pipeline,
@@ -124,6 +137,8 @@ def main():
             "frames_per_sec": round(steps * batch_size / dt, 1),
             "input_pipeline_fps": round(n / dt_data, 1),
             "device_step_fps": round(step_iters * batch_size / dt_step, 1),
+            "train_mfu": mfu,
+            "gflops_per_step": round(step_flops / 1e9, 1) if step_flops else None,
             "final_loss": round(float(loss), 4),
         }))
 
