@@ -58,6 +58,34 @@ def test_pipeline_forward_matches_sequential(setup):
         )
 
 
+def test_pipeline_four_stages_four_devices():
+    """Depth scaling: a 4-stage CPM (classic rtpose runs 6) pipelined over
+    pipe=4 with data=2 reproduces the sequential model."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model = RTPoseLight3D(num_stages=4)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, (4, 32, 32, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)
+    _, saved_seq = model.apply(variables, x, train=False)
+
+    mesh = pp.make_pipe_mesh(4, devices=jax.devices()[:8])
+    stem_vars, stacked = pp.build_pipelined_variables(variables, num_stages=4)
+    svars = {"params": stacked["params"]}
+    if "batch_stats" in stacked:
+        svars["batch_stats"] = stacked["batch_stats"]
+    stem = _stem_out(variables, x)
+    saved_pp = jax.jit(
+        lambda sv, so: pp.pipeline_stages(mesh, sv, so, n_micro=2)
+    )(svars, stem)
+
+    assert len(saved_pp) == 12  # 4 stages x (paf, heat, z)
+    for got, want in zip(saved_pp, saved_seq):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+
 def test_pipeline_train_step_loss_parity_and_update(setup):
     model, variables, x, mesh = setup
     rng = np.random.default_rng(1)
