@@ -72,56 +72,58 @@ def find_peaks_batched(
     Returns peaks (B, K, max_peaks, 3) of (x, y, score) in upsampled-image
     coordinates and n_valid mask (B, K, max_peaks).
 
-    refine: None auto-selects the "pallas" VMEM kernel on TPU (the XLA
-    einsum path's (B, K, M, S, S) upsampled windows never touch HBM) and
-    the "xla" einsum formulation elsewhere; parity pinned in
+    refine: None auto-selects "pallas" on TPU — the fused
+    mask+top-k+refine kernel (ops/pallas_kernels.find_peaks_pallas): the
+    heat planes are read from HBM once and only (K, M) results leave —
+    and the "xla" einsum formulation elsewhere; parity pinned in
     tests/test_pallas_kernels.py.
     """
-    from popnet_tpu.ops.pallas_kernels import peak_mask, subpixel_refine_pallas
+    from popnet_tpu.ops.pallas_kernels import find_peaks_pallas, peak_mask
 
     if refine is None:
         refine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     B, H, W, _ = heat.shape
     h = heat[..., :num_joints]
-
-    # cross-footprint max filter + threshold (Pallas kernel on TPU)
-    is_peak = peak_mask(h, thresh)
-
-    score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
-        B, num_joints, H * W
-    )
-    # lax.top_k is stable (lower index first on ties) — identical selection
-    # order to iterative masked argmax, in one fused op instead of a
-    # max_peaks-step scan. Invalid (-inf) slots get index 0, matching the
-    # scan's argmax-over-all--inf behavior exactly.
-    top_score, top_idx = jax.lax.top_k(score_flat, max_peaks)  # (B, K, M)
-    valid = jnp.isfinite(top_score)
-    top_idx = jnp.where(valid, top_idx, 0)
-    py = top_idx // W
-    px = top_idx % W
-
-    # 5x5 border-replicated patch upsample, gather-free: per-peak one-hot
-    # row/col selectors fold into the U interpolation matrices, so the whole
-    # refinement is three small matmuls per peak on the MXU. (Measured on
-    # chip: a direct per-peak patch gather is ~2x slower — TPU gathers
-    # serialize; the one-hot contractions fuse.)
     size = 2 * win_size + 1
-    hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
-    hpad = jnp.pad(
-        hK, ((0, 0), (0, 0), (win_size, win_size), (win_size, win_size)), mode="edge"
-    )
-    Hp, Wp = H + 2 * win_size, W + 2 * win_size
-
     S = size * factor
+
     if refine == "pallas":
-        loc, peak_score = subpixel_refine_pallas(
-            hpad, px.astype(jnp.int32), py.astype(jnp.int32),
-            win_size=win_size, factor=factor,
-            interpret=jax.default_backend() != "tpu",
+        hK = h.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, K, H, W)
+        px, py, loc, peak_score, valid = find_peaks_pallas(
+            hK, max_peaks=max_peaks, thresh=thresh, factor=factor,
+            win_size=win_size, interpret=jax.default_backend() != "tpu",
         )
         peak_score = peak_score.astype(heat.dtype)
     else:
+        # cross-footprint max filter + threshold (Pallas kernel on TPU)
+        is_peak = peak_mask(h, thresh)
+
+        score_flat = jnp.where(is_peak, h, -jnp.inf).transpose(0, 3, 1, 2).reshape(
+            B, num_joints, H * W
+        )
+        # lax.top_k is stable (lower index first on ties) — identical
+        # selection order to iterative masked argmax, in one fused op
+        # instead of a max_peaks-step scan. Invalid (-inf) slots get index
+        # 0, matching the scan's argmax-over-all--inf behavior exactly.
+        top_score, top_idx = jax.lax.top_k(score_flat, max_peaks)  # (B, K, M)
+        valid = jnp.isfinite(top_score)
+        top_idx = jnp.where(valid, top_idx, 0)
+        py = top_idx // W
+        px = top_idx % W
+
+        # 5x5 border-replicated patch upsample, gather-free: per-peak
+        # one-hot row/col selectors fold into the U interpolation matrices,
+        # so the whole refinement is three small matmuls per peak on the
+        # MXU. (Measured on chip: a direct per-peak patch gather is ~2x
+        # slower — TPU gathers serialize; the one-hot contractions fuse.)
+        hK = h.transpose(0, 3, 1, 2)  # (B, K, H, W)
+        hpad = jnp.pad(
+            hK, ((0, 0), (0, 0), (win_size, win_size), (win_size, win_size)),
+            mode="edge",
+        )
+        Hp, Wp = H + 2 * win_size, W + 2 * win_size
+
         U = jnp.asarray(_upsample_matrix(size, factor), dtype=heat.dtype)  # (S, 5)
         offs = jnp.arange(size)
         rowsel = jax.nn.one_hot(py[..., None] + offs, Hp, dtype=heat.dtype)  # (B,K,M,5,Hp)

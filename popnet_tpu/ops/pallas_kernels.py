@@ -162,51 +162,63 @@ def paf_sample_pallas(pafT, srcx, srcy, dx, dy, ux, uy,
     )(pafT, srcx, srcy, dx, dy, ux, uy)
 
 
+def _refine_joint(plane, px, py, Q, *, m, size, win_size, h, w,
+                  clamp_targets):
+    """Windowed bicubic refine of one joint's M peaks against its (hp, wp)
+    plane. px/py are (M, 1) int32 integer peak coords in UNPADDED grid
+    coords; with clamp_targets the plane is unpadded and tap rows/cols are
+    edge-clamped (identical values to reading an edge-padded plane).
+    Returns (loc (M,) argmax in the S*S window, score (M,))."""
+    S2 = Q.shape[1]
+    hp, wp = plane.shape
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (m, hp), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (m, wp), 1)
+    lane25 = jax.lax.broadcasted_iota(jnp.int32, (m, size * size), 1)
+    patch = jnp.zeros((m, size * size), jnp.float32)
+    for i in range(size):
+        tgt = py + (i - win_size) if clamp_targets else py + i
+        if clamp_targets:
+            tgt = jnp.clip(tgt, 0, h - 1)
+        rmask = (iota_h == tgt).astype(jnp.float32)           # (M, Hp)
+        ti = jnp.dot(rmask, plane, preferred_element_type=jnp.float32)
+        for j in range(size):
+            tgtx = px + (j - win_size) if clamp_targets else px + j
+            if clamp_targets:
+                tgtx = jnp.clip(tgtx, 0, w - 1)
+            val = jnp.sum(
+                jnp.where(iota_w == tgtx, ti, 0.0), axis=1, keepdims=True
+            )
+            patch = patch + jnp.where(lane25 == i * size + j, val, 0.0)
+    up = jnp.dot(patch, Q, preferred_element_type=jnp.float32)  # (M, S2)
+    Sdim = int(round(S2 ** 0.5))
+    fac = Sdim // size
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (m, S2), 1)
+    swin = (qpos // Sdim) // fac
+    twin = (qpos % Sdim) // fac
+    kx0 = jnp.maximum(0, win_size - px)
+    kx1 = win_size + jnp.minimum(w - 1 - px, win_size)
+    ky0 = jnp.maximum(0, win_size - py)
+    ky1 = win_size + jnp.minimum(h - 1 - py, win_size)
+    ok = (swin >= ky0) & (swin <= ky1) & (twin >= kx0) & (twin <= kx1)
+    upm = jnp.where(ok, up, jnp.float32(-jnp.inf))
+    return jnp.argmax(upm, axis=1).astype(jnp.int32), jnp.max(upm, axis=1)
+
+
 def _refine_kernel(hpad_ref, px_ref, py_ref, q_ref, loc_ref, score_ref,
                    *, num_joints, m, size, win_size, factor, h, w, hp, wp):
     planes = hpad_ref[0]      # (K, Hp, Wp) edge-padded heat, f32
     PX = px_ref[0]            # (K, M) int32 integer peak coords
     PY = py_ref[0]
     Q = q_ref[:, :]           # (size*size, S*S): Q[i*size+j, s*S+t] = U[s,i]U[t,j]
-    S = size * factor
-    S2 = S * S
-    neg = jnp.float32(-jnp.inf)
-
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (m, hp), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (m, wp), 1)
-    lane25 = jax.lax.broadcasted_iota(jnp.int32, (m, size * size), 1)
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (m, S2), 1)
-    swin = (qpos // S) // factor     # source row of upsampled cell
-    twin = (qpos % S) // factor      # source col
 
     for k in range(num_joints):
-        px = PX[k][:, None]          # (M, 1)
-        py = PY[k][:, None]
-        # 5x5 patch per peak, rows via one-hot matmul, cols via masked sums
-        patch = jnp.zeros((m, size * size), jnp.float32)
-        for i in range(size):
-            rmask = (iota_h == py + i).astype(jnp.float32)        # (M, Hp)
-            ti = jnp.dot(rmask, planes[k],
-                         preferred_element_type=jnp.float32)      # (M, Wp)
-            for j in range(size):
-                val = jnp.sum(
-                    jnp.where(iota_w == px + j, ti, 0.0),
-                    axis=1, keepdims=True,
-                )                                                 # (M, 1)
-                patch = patch + jnp.where(
-                    lane25 == i * size + j, val, 0.0
-                )
-        up = jnp.dot(patch, Q, preferred_element_type=jnp.float32)  # (M, S2)
-        # restrict to the window the reference's shrunken border patch
-        # covers (same bounds as the XLA path in find_peaks_batched)
-        kx0 = jnp.maximum(0, win_size - px)
-        kx1 = win_size + jnp.minimum(w - 1 - px, win_size)
-        ky0 = jnp.maximum(0, win_size - py)
-        ky1 = win_size + jnp.minimum(h - 1 - py, win_size)
-        ok = (swin >= ky0) & (swin <= ky1) & (twin >= kx0) & (twin <= kx1)
-        upm = jnp.where(ok, up, neg)
-        loc_ref[0, k] = jnp.argmax(upm, axis=1).astype(jnp.int32)
-        score_ref[0, k] = jnp.max(upm, axis=1)
+        loc, score = _refine_joint(
+            planes[k], PX[k][:, None], PY[k][:, None], Q,
+            m=m, size=size, win_size=win_size, h=h, w=w,
+            clamp_targets=False,
+        )
+        loc_ref[0, k] = loc
+        score_ref[0, k] = score
 
 
 @functools.partial(
@@ -265,6 +277,132 @@ def subpixel_refine_pallas(hpad, px, py, win_size: int = 2,
         out_specs=(km, km),
         interpret=interpret,
     )(hpad.astype(jnp.float32), px, py, Q)
+
+
+_SENT = -1e30  # finite sentinel: 0 * -inf would NaN in additive masks
+
+
+def _find_peaks_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
+                       valid_ref, *, num_joints, m, size, win_size, thresh,
+                       h, w):
+    H = h_ref[0]              # (K, H, W) f32 heat planes
+    Q = q_ref[:, :]
+    K = num_joints
+
+    # ---- cross-footprint local-max mask + threshold, per joint ------------
+    planes = []
+    for k in range(K):
+        hk = H[k]
+        neg = jnp.full((1, w), _SENT, jnp.float32)
+        negc = jnp.full((h, 1), _SENT, jnp.float32)
+        up = jnp.concatenate([neg, hk[:-1]], axis=0)
+        down = jnp.concatenate([hk[1:], neg], axis=0)
+        left = jnp.concatenate([negc, hk[:, :-1]], axis=1)
+        right = jnp.concatenate([hk[:, 1:], negc], axis=1)
+        mx = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+        planes.append(jnp.where((hk >= mx) & (hk > thresh), hk, _SENT)[None])
+    score = jnp.concatenate(planes, axis=0)                 # (K, H, W)
+
+    # ---- top-M per joint: M iterations of two-level argmax ----------------
+    # (first row holding the global max, then first col == lax.top_k's
+    # lowest-flat-index tie rule; see find_peaks_batched)
+    iota_KH = jax.lax.broadcasted_iota(jnp.int32, (K, h), 1)
+    iota_KW = jax.lax.broadcasted_iota(jnp.int32, (K, w), 1)
+    iota_KM = jax.lax.broadcasted_iota(jnp.int32, (K, m), 1)
+    PX = jnp.zeros((K, m), jnp.int32)
+    PY = jnp.zeros((K, m), jnp.int32)
+    PV = jnp.full((K, m), _SENT, jnp.float32)
+    for pick in range(m):
+        rowmax = jnp.max(score, axis=2)                     # (K, H)
+        r = jnp.argmax(rowmax, axis=1)                      # (K,)
+        keep_r = jnp.where(iota_KH == r[:, None], 0.0, _SENT)
+        srow = jnp.max(score + keep_r[:, :, None], axis=1)  # (K, W)
+        c = jnp.argmax(srow, axis=1)
+        v = jnp.max(srow, axis=1)
+        m1 = (iota_KH == r[:, None]).astype(jnp.float32)
+        m2 = (iota_KW == c[:, None]).astype(jnp.float32)
+        score = score - m1[:, :, None] * m2[:, None, :] * 1e30
+        put = iota_KM == pick
+        PX = jnp.where(put, c[:, None], PX)
+        PY = jnp.where(put, r[:, None], PY)
+        PV = jnp.where(put, v[:, None], PV)
+
+    valid = PV > -1e29
+    # invalid slots: the XLA path reads flat index 0 -> (0, 0)
+    PX = jnp.where(valid, PX, 0)
+    PY = jnp.where(valid, PY, 0)
+
+    # ---- windowed bicubic subpixel refine, edge-clamped taps --------------
+    for k in range(K):
+        loc, sc = _refine_joint(
+            H[k], PX[k][:, None], PY[k][:, None], Q,
+            m=m, size=size, win_size=win_size, h=h, w=w,
+            clamp_targets=True,
+        )
+        loc_ref[0, k] = loc
+        score_ref[0, k] = sc
+    px_ref[0] = PX
+    py_ref[0] = PY
+    valid_ref[0] = valid.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_peaks", "thresh", "factor", "win_size", "interpret"),
+)
+def find_peaks_pallas(heat_khw, max_peaks: int = 16, thresh: float = 0.1,
+                      factor: int = 8, win_size: int = 2,
+                      interpret: bool = False):
+    """Fused peak front end: cross-footprint NMS + threshold + top-M
+    selection + windowed bicubic subpixel refine, one kernel per batch row.
+
+    Replaces three dispatches (peak-mask kernel -> lax.top_k -> refine
+    kernel) and all their HBM intermediates (masked score planes, padded
+    planes, index arrays): the (K, H, W) heat planes are read once and only
+    (K, M) px/py/loc/score/valid leave. Tap reads are edge-CLAMPED instead
+    of reading an edge-padded plane — identical values by construction.
+    Tie semantics match lax.top_k (lowest flat index), pinned in
+    tests/test_pallas_kernels.py.
+
+    heat_khw: (B, K, H, W) f32. Returns (px, py, loc, score, valid), each
+    (B, K, max_peaks); loc is the flat argmax in the S*S refine window.
+    """
+    from popnet_tpu.decode.device import _upsample_matrix
+
+    B, K, H, W = heat_khw.shape
+    size = 2 * win_size + 1
+    S = size * factor
+    U = _upsample_matrix(size, factor)
+    Q = jnp.asarray(
+        np.einsum("si,tj->ijst", U, U).reshape(size * size, S * S),
+        jnp.float32,
+    )
+    kernel = functools.partial(
+        _find_peaks_kernel, num_joints=K, m=max_peaks, size=size,
+        win_size=win_size, thresh=float(thresh), h=H, w=W,
+    )
+    km = pl.BlockSpec((1, K, max_peaks), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    px, py, loc, score, valid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((B, K, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((B, K, max_peaks), jnp.int32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, H, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((size * size, S * S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(km, km, km, km, km),
+        interpret=interpret,
+    )(heat_khw.astype(jnp.float32), Q)
+    return px, py, loc, score, valid > 0
 
 
 def _window_readout_kernel(zh_ref, hrelu_ref, z_ref, cx_ref, cy_ref, out_ref,
