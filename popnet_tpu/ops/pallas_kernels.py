@@ -204,81 +204,6 @@ def _refine_joint(plane, px, py, Q, *, m, size, win_size, h, w,
     return jnp.argmax(upm, axis=1).astype(jnp.int32), jnp.max(upm, axis=1)
 
 
-def _refine_kernel(hpad_ref, px_ref, py_ref, q_ref, loc_ref, score_ref,
-                   *, num_joints, m, size, win_size, factor, h, w, hp, wp):
-    planes = hpad_ref[0]      # (K, Hp, Wp) edge-padded heat, f32
-    PX = px_ref[0]            # (K, M) int32 integer peak coords
-    PY = py_ref[0]
-    Q = q_ref[:, :]           # (size*size, S*S): Q[i*size+j, s*S+t] = U[s,i]U[t,j]
-
-    for k in range(num_joints):
-        loc, score = _refine_joint(
-            planes[k], PX[k][:, None], PY[k][:, None], Q,
-            m=m, size=size, win_size=win_size, h=h, w=w,
-            clamp_targets=False,
-        )
-        loc_ref[0, k] = loc
-        score_ref[0, k] = score
-
-
-@functools.partial(
-    jax.jit, static_argnames=("win_size", "factor", "interpret")
-)
-def subpixel_refine_pallas(hpad, px, py, win_size: int = 2,
-                           factor: int = 8, interpret: bool = False):
-    """Windowed bicubic subpixel refinement, VMEM-resident.
-
-    The XLA formulation (find_peaks_batched) is three one-hot einsums whose
-    (B, K, M, S, S) upsampled windows (~400 MB at batch 256) round-trip HBM
-    only to be argmax'd. Here each batch row keeps its (K, Hp, Wp) heat
-    planes in VMEM, extracts the 5x5 patches with iota-compare selectors,
-    upsamples with ONE (M, 25) x (25, S*S) MXU matmul against the
-    precomputed Kronecker matrix Q[ij, st] = U[s,i]U[t,j], and argmaxes the
-    reference's border-shrunken window in registers; only (B, K, M)
-    loc/score leave. Same cubic taps / window bounds as the XLA path
-    (association of the two U contractions differs -> <=1 ulp value jitter;
-    parity is pinned in tests/test_pallas_kernels.py).
-
-    hpad: (B, K, Hp, Wp) f32 edge-padded (win_size) heat planes.
-    px, py: (B, K, M) int32 integer peak coords in the unpadded grid.
-    Returns (loc, score): (B, K, M) int32 flat argmax in the S*S window
-    and its value.
-    """
-    from popnet_tpu.decode.device import _upsample_matrix
-
-    B, K, Hp, Wp = hpad.shape
-    M = px.shape[-1]
-    size = 2 * win_size + 1
-    S = size * factor
-    U = _upsample_matrix(size, factor)                      # (S, size)
-    Q = jnp.asarray(
-        np.einsum("si,tj->ijst", U, U).reshape(size * size, S * S),
-        jnp.float32,
-    )
-    kernel = functools.partial(
-        _refine_kernel, num_joints=K, m=M, size=size, win_size=win_size,
-        factor=factor, h=Hp - 2 * win_size, w=Wp - 2 * win_size, hp=Hp, wp=Wp,
-    )
-    km = pl.BlockSpec((1, K, M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, K, M), jnp.int32),
-            jax.ShapeDtypeStruct((B, K, M), jnp.float32),
-        ),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, K, Hp, Wp), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            km, km,
-            pl.BlockSpec((size * size, S * S), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(km, km),
-        interpret=interpret,
-    )(hpad.astype(jnp.float32), px, py, Q)
-
-
 _SENT = -1e30  # finite sentinel: 0 * -inf would NaN in additive masks
 
 

@@ -20,10 +20,10 @@ def test_peak_mask_pallas_matches_jnp():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_subpixel_refine_pallas_matches_xla():
-    """The VMEM refine kernel reproduces the XLA einsum refinement:
-    identical argmax cell (=> identical subpixel coords) and window score
-    on random heatmaps, including border peaks."""
+def test_find_peaks_pallas_matches_xla():
+    """The fused peak front end (NMS mask + top-M + windowed refine in one
+    kernel) reproduces the XLA path: identical valid sets and identical
+    refined coords/scores on random heatmaps, including border peaks."""
     rng = np.random.default_rng(11)
     B = 2
     heat = rng.uniform(0, 1, (B, 28, 28, 16)).astype(np.float32)
