@@ -22,7 +22,9 @@ serving.variables_from_npz — default examples/results/bench_weights_<model>.np
 when present, else random init; static shapes make throughput
 data-independent, but trained weights exercise realistic decode occupancy),
 BENCH_STAGE=full|cnn (cnn truncates after the
-CNN to attribute time between CNN and decode+D2H), BENCH_PACK=q16|f32
+CNN to attribute time between CNN and decode+D2H), BENCH_QUANT=int8 (serve
+the CNN through the dynamic-int8 MXU path, ops/quant.py — metric-parity
+proven in tests/test_quant_int8.py; default exact bf16), BENCH_PACK=q16|f32
 (default q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes;
 quantization <=1/32 px / <=0.13 mm, far under the benchmark thresholds —
 BENCH_PACK=f32 for the exact-float wire), BENCH_PEAK_TFLOPS (per-chip peak
@@ -71,6 +73,7 @@ def main():
     mode = os.environ.get("BENCH_MODEL", "openpose")
     stage = os.environ.get("BENCH_STAGE", "full")
     pack = os.environ.get("BENCH_PACK", "q16")
+    quant = os.environ.get("BENCH_QUANT") or None  # int8: dynamic-quantized CNN
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
@@ -91,16 +94,20 @@ def main():
     variables = variables_from_npz(ckpt) if ckpt else None
 
     if mode == "openpose":
-        pipeline = build_openpose_pipeline(variables, stage=stage, pack=pack)
+        pipeline = build_openpose_pipeline(variables, stage=stage, pack=pack,
+                                           quant=quant)
     elif mode == "popnet":
-        pipeline = build_popnet_pipeline(variables, pack=pack)
+        pipeline = build_popnet_pipeline(variables, pack=pack, quant=quant)
     elif mode == "yolo":
-        pipeline = build_yolo_pipeline(variables, pack=pack)
+        pipeline = build_yolo_pipeline(variables, pack=pack, quant=quant)
     elif mode == "yolo_a2j":
-        pipeline = build_yolo_a2j_pipeline(yolo_variables=variables, pack=pack)
+        pipeline = build_yolo_a2j_pipeline(yolo_variables=variables, pack=pack,
+                                           quant=quant)
     else:
         raise SystemExit(f"unknown BENCH_MODEL {mode!r}")
     metric = f"{mode}_e2e_inference" if stage == "full" else f"{mode}_{stage}_only"
+    if quant:
+        metric += f"_{quant}"
 
     flops = _flops_per_call(pipeline, frames)
 

@@ -375,9 +375,20 @@ def cmd_evaluate(args):
         os.path.join(args.data_root, args.labels), ecfg=ecfg, dcfg=dcfg,
     )
 
+    if getattr(args, "quant", None) == "int8":
+        # dynamic-int8 MXU convs (ops/quant.py; metric-parity proven in
+        # tests/test_quant_int8.py)
+        from popnet_tpu.ops.quant import quantized_apply
+
+        def apply_fn(images):
+            return quantized_apply(model, variables, images, train=False)
+    else:
+        def apply_fn(images):
+            return model.apply(variables, images, train=False)
+
     if args.model == "popnet":
         def infer(images):
-            (heat, z, align, prior), _ = model.apply(variables, images, train=False)
+            (heat, z, align, prior), _ = apply_fn(images)
             return heat, z, align, prior
 
         data = ev.run_popnet_eval(
@@ -386,7 +397,7 @@ def cmd_evaluate(args):
         )
     elif args.model == "openpose":
         def infer(images):
-            (paf, heat, z), _ = model.apply(variables, images, train=False)
+            (paf, heat, z), _ = apply_fn(images)
             return paf, heat, z
 
         data = ev.run_openpose_eval(
@@ -394,10 +405,7 @@ def cmd_evaluate(args):
             device_decode=getattr(args, "device_decode", False),
         )
     else:
-        def infer(images):
-            return model.apply(variables, images, train=False)
-
-        data = ev.run_yolo_eval(infer, dataset, args.batch_size, ecfg, decfg)
+        data = ev.run_yolo_eval(apply_fn, dataset, args.batch_size, ecfg, decfg)
 
     os.makedirs(args.out_dir, exist_ok=True)
     out_json = os.path.join(args.out_dir, f"{args.model}_results.json")
@@ -637,6 +645,12 @@ def build_parser():
         "--device-decode", action="store_true",
         help="run the full Open-Pose+ decode (assembly + z readout + "
              "back-projection) on device as one jitted program",
+    )
+    e.add_argument(
+        "--quant", choices=["int8"], default=None,
+        help="serve the CNN through dynamic-int8 MXU convolutions "
+             "(ops/quant.py; ~1.2-1.35x on TPU, metric-parity proven in "
+             "tests/test_quant_int8.py)",
     )
     e.set_defaults(fn=cmd_evaluate)
 

@@ -203,6 +203,18 @@ def _maybe_shard(fn, mesh: Mesh | None):
     return jax.jit(fn, in_shardings=spec, out_shardings=spec)
 
 
+def _apply_model(model, variables, x, quant: str | None):
+    """model.apply, optionally through the dynamic-int8 conv path
+    (ops/quant.py; metric-parity proven in tests/test_quant_int8.py)."""
+    if quant == "int8":
+        from popnet_tpu.ops.quant import quantized_apply
+
+        return quantized_apply(model, variables, x, train=False)
+    if quant not in (None, "none", ""):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    return model.apply(variables, x, train=False)
+
+
 def build_openpose_pipeline(
     variables=None,
     dtype=jnp.bfloat16,
@@ -213,6 +225,7 @@ def build_openpose_pipeline(
     mesh: Mesh | None = None,
     stage: str = "full",
     pack: str = "f32",
+    quant: str | None = None,
 ):
     """Open-Pose+ serving fn: (B, H, W) raw depth -> (B, L) packed buffer.
 
@@ -229,7 +242,7 @@ def build_openpose_pipeline(
 
     def pipeline(raw_depth):
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
-        (paf, heat, z), _ = model.apply(variables, x, train=False)
+        (paf, heat, z), _ = _apply_model(model, variables, x, quant)
         if stage == "cnn":
             return pack_outputs(heat.max(axis=(1, 2)), paf.mean(axis=(1, 2)))
         out = openpose_decode(
@@ -258,6 +271,7 @@ def build_popnet_pipeline(
     mesh: Mesh | None = None,
     readout: str = "universe",
     pack: str = "f32",
+    quant: str | None = None,
 ):
     """PoP-Net serving fn: (B, H, W) raw depth -> (B, L) packed buffer."""
     from popnet_tpu.decode.popnet_infer import popnet_decode
@@ -269,7 +283,7 @@ def build_popnet_pipeline(
 
     def pipeline(raw_depth):
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
-        (heat, z, align, prior), _ = model.apply(variables, x, train=False)
+        (heat, z, align, prior), _ = _apply_model(model, variables, x, quant)
         out = popnet_decode(
             heat.astype(jnp.float32), z.astype(jnp.float32),
             align.astype(jnp.float32), prior.astype(jnp.float32),
@@ -295,6 +309,7 @@ def build_yolo_pipeline(
     cam: CameraIntrinsics = KDH3D_INTRINSICS,
     mesh: Mesh | None = None,
     pack: str = "f32",
+    quant: str | None = None,
     w_out: float = 480.0,
     h_out: float = 512.0,
 ):
@@ -316,7 +331,7 @@ def build_yolo_pipeline(
 
     def pipeline(raw_depth):
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
-        prior = model.apply(variables, x, train=False)
+        prior = _apply_model(model, variables, x, quant)
         dets, valid = decode_prior_maps(
             prior.astype(jnp.float32), anchors, depth.mean, depth.std,
             num_joints=K, conf_threshold=dcfg.conf_threshold,
@@ -347,6 +362,7 @@ def build_yolo_a2j_pipeline(
     cam: CameraIntrinsics = KDH3D_INTRINSICS,
     mesh: Mesh | None = None,
     pack: str = "f32",
+    quant: str | None = None,
     max_crops: int = 4,
     w_out: float = 480.0,
     h_out: float = 512.0,
@@ -388,7 +404,7 @@ def build_yolo_a2j_pipeline(
     def pipeline(raw_depth):
         B = raw_depth.shape[0]
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
-        prior = yolo.apply(yolo_variables, x, train=False)
+        prior = _apply_model(yolo, yolo_variables, x, quant)
         dets, valid = decode_prior_maps(
             prior.astype(jnp.float32), anchors, depth.mean, depth.std,
             num_joints=K, conf_threshold=dcfg.conf_threshold,
@@ -408,7 +424,7 @@ def build_yolo_a2j_pipeline(
         crops = crop_resize_batch(
             raw_depth, image_idx, boxes, depth.mean, depth.std, CROP
         ).astype(dtype)
-        heads = a2j.apply(a2j_variables, crops, train=False)
+        heads = _apply_model(a2j, a2j_variables, crops, quant)
         kp = a2j_post_process(
             tuple(h.astype(jnp.float32) for h in heads), all_anchors
         )                                                # (B*C, K, 3) (y, x, z)
