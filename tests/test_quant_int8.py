@@ -71,6 +71,27 @@ def test_quantized_outputs_close():
     assert max(diffs) < 0.05, diffs
 
 
+def test_int8_pipeline_sharded_matches_single():
+    """Batch-sharded int8 serving equals the single-device program exactly
+    (the dynamic activation scale is a global max — GSPMD all-reduces it,
+    so quantization grids agree across shards)."""
+    from popnet_tpu.models import PopNet
+    from popnet_tpu.parallel.mesh import make_mesh
+    from popnet_tpu.serving import build_popnet_pipeline, init_variables
+
+    frames = jnp.asarray(
+        np.random.default_rng(7).uniform(0.5, 6.0, (8, 512, 480)).astype(np.float32)
+    )
+    variables = init_variables(PopNet(dtype=jnp.float32))
+    single = build_popnet_pipeline(variables, dtype=jnp.float32, quant="int8")
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = build_popnet_pipeline(variables, dtype=jnp.float32, quant="int8",
+                                    mesh=mesh)
+    a = np.asarray(single(frames))
+    b = np.asarray(sharded(frames))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     """Frozen mp-aug composites from a held-out seed — the distribution the
