@@ -88,6 +88,51 @@ def window_readout_heat_weighted(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("num_joints", "dcfg", "limbs", "sx", "sy"),
+)
+def paf_decode_2d(
+    heat: jnp.ndarray,   # (B, H, W, >=K) raw model heatmaps
+    paf: jnp.ndarray,    # (B, H, W, 2L)
+    num_joints: int,
+    dcfg: DecodeConfig = DecodeConfig(),
+    limbs: tuple = LIMBS,
+    sx: float = 1.0,     # model-input px -> output px scale
+    sy: float = 1.0,
+):
+    """Skeleton-generic 2D PAF decode: peaks + subpixel refine + PAF scoring
+    + greedy assembly, ONE jitted program, no depth/3D stage — the decode
+    the RGB (COCO/MPII) models need (reference: paf_to_pose + pafprocess in
+    evaluate/coco_eval.py:243-281, here on device). Returns
+    joints2d (B, P, K, 2) with (-1, -1) holes, conf (B, P, K), counts (B,).
+    """
+    heat = heat.astype(jnp.float32)
+    paf = paf.astype(jnp.float32)
+    peaks, pvalid = find_peaks_batched(
+        heat, max_peaks=dcfg.max_peaks, thresh=dcfg.thresh_heatmap,
+        factor=dcfg.downsample, win_size=dcfg.win_size,
+        num_joints=num_joints,
+    )
+    scores, ok = score_limb_pairs_batched(
+        paf, peaks, pvalid, num_intermed_pts=dcfg.num_intermed_pts,
+        thresh_paf=dcfg.thresh_paf, factor=dcfg.downsample, limbs=limbs,
+    )
+    joints, counts = assemble_batched(
+        peaks, pvalid, scores, ok, limbs=limbs, max_people=dcfg.max_people,
+        min_parts=dcfg.min_parts, min_score=dcfg.min_score,
+    )
+    vis = joints[..., 0] >= 0
+    x2 = jnp.where(vis, joints[..., 0] * jnp.float32(sx), joints[..., 0])
+    y2 = jnp.where(vis, joints[..., 1] * jnp.float32(sy), joints[..., 1])
+    return {
+        "joints2d": jnp.stack([x2, y2], axis=-1),
+        "conf": joints[..., 2],
+        "visibility": vis.astype(jnp.int32),
+        "counts": counts,
+    }
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "ecfg", "dcfg", "depth", "cam", "w_out", "h_out", "limbs",
     ),

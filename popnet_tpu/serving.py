@@ -300,6 +300,87 @@ def build_popnet_pipeline(
     return _maybe_shard(pipeline, mesh)
 
 
+def unpack_outputs_2d(buf: np.ndarray, max_people: int, num_joints: int):
+    """Host-side inverse of the RGB pipelines' (joints2d, conf, counts)
+    pack layout. Returns numpy views."""
+    buf = np.asarray(buf)
+    B = buf.shape[0]
+    Pp, K = max_people, num_joints
+    s1, s2 = Pp * K * 2, Pp * K
+    return {
+        "joints2d": buf[:, :s1].reshape(B, Pp, K, 2),
+        "conf": buf[:, s1 : s1 + s2].reshape(B, Pp, K),
+        "counts": buf[:, s1 + s2 :],
+    }
+
+
+def build_rtpose_vgg_pipeline(
+    variables=None,
+    dtype=jnp.bfloat16,
+    trunk: str = "vgg19",
+    input_size: int = 368,
+    dcfg: DecodeConfig = DecodeConfig(),
+    mesh: Mesh | None = None,
+    pack: str = "f32",
+    quant: str | None = None,
+    preprocess: str = "rtpose",
+):
+    """COCO RGB serving fn: (B, H, W, 3) BGR frames -> (B, L) packed buffer.
+
+    The RGB family's inference path (reference: evaluate/coco_eval.py
+    get_outputs + paf_to_pose + pafprocess, per-image host loops) as ONE
+    XLA program per batch: square bilinear resize to `input_size` +
+    normalization + RTPoseVGG + the skeleton-generic device decode with
+    the COCO-18 tables (decode/openpose_infer.paf_decode_2d). joints2d come
+    back in source-frame pixels; unpack with `unpack_outputs_2d`.
+    """
+    from popnet_tpu.core.skeleton_coco import COCO_LIMBS, COCO_NUM_JOINTS
+    from popnet_tpu.data.preprocessing import _VGG_MEANS, _VGG_STDS
+    from popnet_tpu.decode.openpose_infer import paf_decode_2d
+    from popnet_tpu.models import RTPoseVGG
+
+    # jnp twins of data/preprocessing.py's host normalizations (those are
+    # NumPy functions; the pipeline needs traced ops)
+    def _norm(x):
+        if preprocess == "rtpose":
+            return x / 256.0 - 0.5
+        if preprocess == "vgg":
+            x = x[..., ::-1] / 255.0
+            return (x - jnp.asarray(_VGG_MEANS)) / jnp.asarray(_VGG_STDS)
+        if preprocess == "inception":
+            return x[..., ::-1] / 128.0 - 1.0
+        raise ValueError(f"unsupported preprocess mode {preprocess!r}")
+
+    model = RTPoseVGG(trunk=trunk, dtype=dtype)
+    if variables is None:
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+                train=False,
+            )
+        variables = jax.device_put(variables, jax.devices()[0])
+
+    def pipeline(frames):
+        B, H, W, _ = frames.shape
+        x = jnp.transpose(frames, (1, 2, 0, 3)).reshape(H, W, -1)
+        x = resize_bilinear_cv2(x.astype(jnp.float32), input_size, input_size)
+        x = x.reshape(input_size, input_size, B, 3).transpose(2, 0, 1, 3)
+        x = _norm(x).astype(dtype)
+        (paf, heat), _ = _apply_model(model, variables, x, quant)
+        out = paf_decode_2d(
+            heat, paf, COCO_NUM_JOINTS, dcfg, COCO_LIMBS,
+            sx=float(W) / input_size, sy=float(H) / input_size,
+        )
+        return pack_outputs(out["joints2d"], out["conf"],
+                            out["counts"].astype(jnp.float32))
+
+    if pack != "f32":
+        raise ValueError("the RGB pipeline has no depth channel; only the "
+                         "f32 wire is defined")
+    return _maybe_shard(pipeline, mesh)
+
+
 def build_yolo_pipeline(
     variables=None,
     dtype=jnp.bfloat16,

@@ -79,3 +79,70 @@ def test_remove_illegal_joints_and_valid_area():
     assert m[3:, 2:].sum() == 5 * 6 * 3
     # None valid area is a no-op
     np.testing.assert_array_equal(mask_valid_area(img, None), img)
+
+
+def test_paf_decode_2d_matches_host_coco():
+    """The jitted skeleton-generic 2D decode with the COCO-18 tables equals
+    the exact host path (paf_to_pose + paf_to_human_list) — the device twin
+    of the reference's coco_eval.py:243-281 decode."""
+    from popnet_tpu.core.config import DecodeConfig
+    from popnet_tpu.decode.human_list import paf_to_human_list
+    from popnet_tpu.decode.openpose_infer import paf_decode_2d
+
+    cfg = EncoderConfig(num_joints=COCO_NUM_JOINTS, num_limbs=len(COCO_LIMBS))
+    rng = np.random.default_rng(5)
+    B = 2
+    heats, pafs = [], []
+    for b in range(B):
+        j2 = np.full((cfg.max_people, COCO_NUM_JOINTS, 2), -1e6, np.float32)
+        valid = np.zeros(cfg.max_people, bool)
+        for p in range(2 + b):
+            j2[p] = np.clip(
+                rng.uniform(60, 164, 2) + rng.normal(0, 18, (COCO_NUM_JOINTS, 2)),
+                8, 215,
+            )
+            valid[p] = True
+        h = np.asarray(
+            encoders.encode_heatmaps(jnp.asarray(j2), jnp.asarray(valid), cfg)
+        )
+        f = np.asarray(
+            encoders.encode_pafs(jnp.asarray(j2), jnp.asarray(valid), cfg,
+                                 limbs=COCO_LIMBS)
+        )
+        heats.append(h + rng.normal(0, 0.005, h.shape))
+        pafs.append(f + rng.normal(0, 0.005, f.shape))
+    heat = np.stack(heats).astype(np.float32)
+    paf = np.stack(pafs).astype(np.float32)
+
+    out = paf_decode_2d(jnp.asarray(heat), jnp.asarray(paf), COCO_NUM_JOINTS,
+                        DecodeConfig(), COCO_LIMBS)
+    j2d = np.asarray(out["joints2d"])
+    counts = np.asarray(out["counts"])
+    for b in range(B):
+        jl, people = paf_np.paf_to_pose(
+            heat[b].astype(np.float64), paf[b].astype(np.float64),
+            num_joints=COCO_NUM_JOINTS, limbs=COCO_LIMBS,
+        )
+        host_h, _, _ = paf_to_human_list(jl, people)
+        n = int(counts[b])
+        assert n == len(host_h) and n >= 2
+        dev = sorted(tuple(np.round(j2d[b, p].ravel(), 2)) for p in range(n))
+        host = sorted(tuple(np.round(np.array(h).ravel(), 2)) for h in host_h)
+        assert dev == host
+
+
+def test_rtpose_vgg_pipeline_plumbing():
+    """The RGB serving builder runs e2e: frames in, packed 2D humans out."""
+    from popnet_tpu.core.config import DecodeConfig
+    from popnet_tpu.serving import build_rtpose_vgg_pipeline, unpack_outputs_2d
+
+    pipe = build_rtpose_vgg_pipeline(dtype=jnp.float32, input_size=96)
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 120, 160, 3)).astype(np.float32)
+    )
+    buf = np.asarray(pipe(frames))
+    P = DecodeConfig().max_people
+    out = unpack_outputs_2d(buf, P, COCO_NUM_JOINTS)
+    assert out["joints2d"].shape == (2, P, COCO_NUM_JOINTS, 2)
+    assert out["conf"].shape == (2, P, COCO_NUM_JOINTS)
+    assert np.isfinite(buf).all()
