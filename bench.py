@@ -16,7 +16,8 @@ device-dispatch throughput):
 - yolo_a2j: the two-stage detector -> per-person A2J crops path as one XLA
   program (reference rows: a2j_test_pred_box.py:550-700).
 
-Env knobs: BENCH_MODEL=openpose|popnet|yolo|yolo_a2j, BENCH_BATCH,
+Env knobs: BENCH_MODEL=openpose|popnet|yolo|yolo_a2j|rtpose_vgg (the COCO
+RGB row; f32 wire, default batch 64), BENCH_BATCH,
 BENCH_ITERS, BENCH_QUEUE, BENCH_CKPT=<variables .npz> (trained weights via
 serving.variables_from_npz — default examples/results/bench_weights_<model>.npz
 when present, else random init; static shapes make throughput
@@ -46,6 +47,7 @@ import jax.numpy as jnp
 from popnet_tpu.serving import (
     build_openpose_pipeline,
     build_popnet_pipeline,
+    build_rtpose_vgg_pipeline,
     build_yolo_a2j_pipeline,
     build_yolo_pipeline,
     serve_stream,
@@ -76,7 +78,17 @@ def main():
     quant = os.environ.get("BENCH_QUANT") or None  # int8: dynamic-quantized CNN
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32))
+    if mode == "rtpose_vgg":
+        # the COCO RGB row: uint8-range BGR frames, heavier CNN -> smaller
+        # default batch (override with BENCH_BATCH)
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (batch, 480, 640, 3)).astype(np.float32)
+        )
+    else:
+        frames = jnp.asarray(
+            rng.uniform(0.5, 6.0, (batch, 512, 480)).astype(np.float32)
+        )
 
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt is None:
@@ -103,6 +115,8 @@ def main():
     elif mode == "yolo_a2j":
         pipeline = build_yolo_a2j_pipeline(yolo_variables=variables, pack=pack,
                                            quant=quant)
+    elif mode == "rtpose_vgg":
+        pipeline = build_rtpose_vgg_pipeline(variables, quant=quant)
     else:
         raise SystemExit(f"unknown BENCH_MODEL {mode!r}")
     metric = f"{mode}_e2e_inference" if stage == "full" else f"{mode}_{stage}_only"

@@ -55,6 +55,50 @@ def crop_resize_batch(
     return crops[..., None]
 
 
+@functools.partial(jax.jit, static_argnames=("out_size", "dtype"))
+def crop_resize_grouped(
+    images: jnp.ndarray,   # (B, H, W) raw depth
+    boxes: jnp.ndarray,    # (B, C, 4) [xmin, ymin, xmax, ymax] per image
+    mean: float = 3.0,
+    std: float = 2.0,
+    out_size: int = CROP,
+    dtype=jnp.bfloat16,
+):
+    """(B*C, out, out, 1) crops via separable one-hot matmuls — the TPU
+    serving twin of crop_resize_batch.
+
+    The per-crop 2D point gather serializes on TPU (measured 3.9 s for
+    2560 crops vs 0.63 s for the entire A2J CNN — the same lesson as the
+    PAF-scoring rewrite, NOTES.md §21): instead each crop row/column
+    selection becomes a one-hot selector and the crop is
+    rowsel @ image @ colsel^T on the MXU. Same nearest-neighbor taps and
+    zero OOB padding as the gather path; values ride in `dtype` (the
+    serving consumer casts crops to bf16 for the CNN anyway — use the
+    exact gather path where f32 crop values matter)."""
+    B, H, W = images.shape
+    C, S = boxes.shape[1], out_size
+    u = jnp.arange(S, dtype=jnp.float32)
+    x0, y0 = boxes[..., 0], boxes[..., 1]                      # (B, C)
+    bw = boxes[..., 2] - boxes[..., 0]
+    bh = boxes[..., 3] - boxes[..., 1]
+    # cv2 INTER_NEAREST source index: floor(dst * scale) (crop_resize_batch)
+    sx = jnp.floor(u[None, None, :] * bw[..., None] / S) + x0[..., None]
+    sy = jnp.floor(u[None, None, :] * bh[..., None] / S) + y0[..., None]
+    inx = (sx >= 0) & (sx < W)
+    iny = (sy >= 0) & (sy < H)
+    xi = jnp.clip(sx, 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(sy, 0, H - 1).astype(jnp.int32)
+    rowsel = ((yi[..., None] == jnp.arange(H)[None, None, None, :])
+              & iny[..., None]).astype(dtype)                  # (B, C, S, H)
+    colsel = ((xi[..., None] == jnp.arange(W)[None, None, None, :])
+              & inx[..., None]).astype(dtype)                  # (B, C, S, W)
+    img = images.astype(dtype)
+    rows = jnp.einsum("bcsh,bhw->bcsw", rowsel, img)           # (B, C, S, W)
+    crops = jnp.einsum("bcsw,bctw->bcst", rows, colsel)        # (B, C, S, S)
+    crops = (crops - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
+    return crops.reshape(B * C, S, S, 1)
+
+
 def crop_labels(joints2d, joints_z, boxes, out_size: int = CROP):
     """Map image-space joints into crop space as (N, K, 3) (y, x, z) —
     the A2J annotation convention (anchor coords are (h, w))."""

@@ -457,7 +457,9 @@ def build_yolo_a2j_pipeline(
     an on-device uncrop + back-projection. All shapes static; empty slots
     ride masked (valid=0).
     """
-    from popnet_tpu.data.a2j_crops import CROP, crop_resize_batch
+    from popnet_tpu.data.a2j_crops import (
+        CROP, crop_resize_batch, crop_resize_grouped,
+    )
     from popnet_tpu.decode.a2j import a2j_post_process
     from popnet_tpu.decode.prior import decode_prior_maps
     from popnet_tpu.models import A2J, YoloPoseNet
@@ -501,10 +503,18 @@ def build_yolo_a2j_pipeline(
         boxes = jnp.stack(
             [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
         ).reshape(B * C, 4)
-        image_idx = jnp.repeat(jnp.arange(B), C)
-        crops = crop_resize_batch(
-            raw_depth, image_idx, boxes, depth.mean, depth.std, CROP
-        ).astype(dtype)
+        if jax.default_backend() == "tpu":
+            # per-crop 2D point gathers serialize on TPU (measured: the
+            # gather was ~80% of this row); one-hot matmul crops instead
+            crops = crop_resize_grouped(
+                raw_depth, boxes.reshape(B, C, 4), depth.mean, depth.std,
+                CROP, dtype=dtype,
+            )
+        else:
+            image_idx = jnp.repeat(jnp.arange(B), C)
+            crops = crop_resize_batch(
+                raw_depth, image_idx, boxes, depth.mean, depth.std, CROP
+            ).astype(dtype)
         heads = _apply_model(a2j, a2j_variables, crops, quant)
         kp = a2j_post_process(
             tuple(h.astype(jnp.float32) for h in heads), all_anchors

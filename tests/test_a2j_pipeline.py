@@ -202,3 +202,29 @@ def test_gt_box_driver_oracle(dataset):
     )
     assert res["pck2d"] > 0.95
     assert res["pck3d"] > 0.9
+
+
+def test_crop_resize_grouped_matches_gather():
+    """The one-hot matmul crop (TPU serving path) equals the exact gather
+    crop: same nearest-neighbor taps, same zero OOB padding. f32 one-hot
+    selection is exact (each output is 1*v plus zeros)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from popnet_tpu.data.a2j_crops import crop_resize_grouped
+
+    rng = np.random.default_rng(11)
+    B, C = 3, 4
+    images = jnp.asarray(rng.uniform(0.5, 6.0, (B, 96, 80)).astype(np.float32))
+    boxes = rng.uniform(-20, 70, (B, C, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(10, 60, (B, C, 2))
+    boxes = jnp.asarray(boxes)
+    idx = jnp.repeat(jnp.arange(B), C)
+
+    exact = np.asarray(
+        crop_resize_batch(images, idx, boxes.reshape(B * C, 4), out_size=32)
+    )
+    grouped = np.asarray(
+        crop_resize_grouped(images, boxes, out_size=32, dtype=jnp.float32)
+    )
+    np.testing.assert_array_equal(exact, grouped)
