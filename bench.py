@@ -21,7 +21,9 @@ RGB row; f32 wire, default batch 64), BENCH_BATCH,
 BENCH_ITERS, BENCH_QUEUE, BENCH_CKPT=<variables .npz> (trained weights via
 serving.variables_from_npz — default examples/results/bench_weights_<model>.npz
 when present, else random init; static shapes make throughput
-data-independent, but trained weights exercise realistic decode occupancy),
+data-independent, but trained weights exercise realistic decode occupancy;
+for yolo_a2j, BENCH_CKPT is the stage-1 detector and BENCH_CKPT_A2J the
+stage-2 A2J weights, defaulting to bench_weights_{yolo,a2j}.npz),
 BENCH_STAGE=full|cnn (cnn truncates after the
 CNN to attribute time between CNN and decode+D2H), BENCH_QUANT=int8 (serve
 the CNN through the dynamic-int8 MXU path, ops/quant.py — metric-parity
@@ -113,8 +115,19 @@ def main():
     elif mode == "yolo":
         pipeline = build_yolo_pipeline(variables, pack=pack, quant=quant)
     elif mode == "yolo_a2j":
-        pipeline = build_yolo_a2j_pipeline(yolo_variables=variables, pack=pack,
-                                           quant=quant)
+        # stage-2 weights: BENCH_CKPT_A2J, else the committed trained A2J
+        a2j_ckpt = os.environ.get("BENCH_CKPT_A2J")
+        if a2j_ckpt is None:
+            results = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "examples", "results",
+            )
+            p = os.path.join(results, "bench_weights_a2j.npz")
+            a2j_ckpt = p if os.path.exists(p) else ""
+        a2j_variables = variables_from_npz(a2j_ckpt) if a2j_ckpt else None
+        pipeline = build_yolo_a2j_pipeline(yolo_variables=variables,
+                                           a2j_variables=a2j_variables,
+                                           pack=pack, quant=quant)
     elif mode == "rtpose_vgg":
         pipeline = build_rtpose_vgg_pipeline(variables, quant=quant)
     else:

@@ -315,3 +315,171 @@ def test_full_system_imported_weights(frozen_set, torch_stack):
     assert np.max(np.abs(our_heat - heat)) < 5e-3
     for k in ("pck2d", "pck3d", "map2d", "map3d"):
         assert abs(ours[k] - ref_metrics[k]) <= 0.2, (k, ours[k], ref_metrics[k])
+
+
+def _reference_yolo_full_eval(prior_maps, val_data, ref_ds):
+    """The reference Yolo-Pose+ driver, verbatim semantics
+    (evaluation_yolo_posenet_kdh3d_mpreal.py:139-263): parse_prior_pose on
+    the torch prior maps -> scale to original resolution -> back-project ->
+    the four benchmark metrics."""
+    ref_prior = load_cr_module(
+        "fso_prior", "third_party_methods/lib/utils/prior_pose_align.py"
+    )
+    ref_common = load_cr_module(
+        "fso_common2", "third_party_methods/lib/utils/common.py"
+    )
+    intr = ref_ds.intrinsics
+    w_org, h_org = 480, 512
+    K = 15
+    anchors = [list(a) for a in ECFG.anchors]
+
+    B, H, W, C = prior_maps.shape
+    ref_in = torch.from_numpy(
+        np.transpose(prior_maps, (0, 3, 1, 2)).astype(np.float32).copy()
+    )
+    bboxes, humans_prior, _vis = ref_prior.parse_prior_pose(
+        ref_in, anchors, K, INPUT, INPUT, ref_ds.depth_mean, ref_ds.depth_std,
+        conf_threshold=0.5, nms_threshold=0.5,
+    )
+
+    pred2d_set, pred3d_set, conf_set = [], [], []
+    gt2d_set, gt3d_set = [], []
+    for b in range(B):
+        human_gt = val_data.anno_dic[val_data.ids[b]]
+        gt2d_set.append([h["2d_joints"] for h in human_gt])
+        gt3d_set.append([h["3d_joints"] for h in human_gt])
+
+        if len(humans_prior[b]) > 0:
+            humans_2d = [np.asarray(humans_prior[b][i][:, :2], np.float64)
+                         for i in range(len(humans_prior[b]))]
+            humans_depth = [np.asarray(humans_prior[b][i][:, 2], np.float64)
+                            for i in range(len(humans_prior[b]))]
+            part_conf = np.array([float(bb[4]) for bb in bboxes[b]])
+            part_conf = np.repeat(part_conf.reshape((-1, 1)), K, axis=1).tolist()
+        else:
+            humans_2d, humans_depth, part_conf = [], [], []
+
+        humans_3d = []
+        for i, human in enumerate(humans_2d):
+            human[:, 0] = human[:, 0] / INPUT * w_org
+            human[:, 1] = human[:, 1] / INPUT * h_org
+            h3 = ref_common.pos_3d_from_2d_and_depth(
+                human[:, 0], human[:, 1], humans_depth[i],
+                intr["cx"], intr["cy"], intr["fx"], intr["fy"],
+            )
+            humans_3d.append(h3.tolist())
+            humans_2d[i] = human.tolist()
+
+        pred2d_set.append(humans_2d)
+        pred3d_set.append(humans_3d)
+        conf_set.append(part_conf)
+
+    joint_names = ref_ds.get_keypoints()
+    _, pck2d = ref_pck.eval_human_dataset_2d_PCKh(
+        pred2d_set, gt2d_set, head_id=0, neck_id=1, num_joints=K, iou_th=0.5
+    )
+    _, pck3d = ref_pck.eval_human_dataset_3d(
+        pred2d_set, gt2d_set, pred3d_set, gt3d_set, num_joints=K,
+        dist_th=0.1, iou_th=0.5,
+    )
+    ap2d = ref_map.eval_ap_mpii_v2(
+        pred2d_set, conf_set, gt2d_set, gt_visibility_set=[], head_id=0,
+        neck_id=1, joint_names=joint_names, thresh=0.5,
+    )
+    ap3d = ref_map.eval_ap_3D(
+        pred3d_set, conf_set, gt3d_set, gt_visibility_set=[],
+        joint_names=joint_names, thresh=0.1,
+    )
+    metrics = {
+        "pck2d": float(np.nanmean(pck2d)),
+        "pck3d": float(np.nanmean(pck3d)),
+        "map2d": float(ap2d[-1]) / 100.0,
+        "map3d": float(ap3d[-1]) / 100.0,
+    }
+    return metrics, pred2d_set, pred3d_set, conf_set
+
+
+def test_full_system_yolo_maps_injected(frozen_set, torch_stack):
+    """Level 1 for the Yolo-Pose+ row: identical prior maps through the
+    reference's complete driver (parse_prior_pose -> scale -> back-project
+    -> metrics) and ours (cli.evaluate.run_yolo_eval) must produce identical
+    prediction lists and identical benchmark numbers.
+
+    The injected maps are the GT-encoded prior targets, which are decodable
+    by parse_prior_pose by construction — the reference uses that round trip
+    as its own label/decoder consistency check
+    (datasets_kdh3d.py:639-646)."""
+    from popnet_tpu.data.labels import OOB, pack_annotations
+    from popnet_tpu.ops import encoders
+
+    ref_ds, val_data, _, _, _, _, _ = torch_stack
+    img_dir, ann_file = frozen_set
+    dataset = MPRealDataset(img_dir, ann_file, ecfg=ECFG)
+    assert dataset.ids == val_data.ids
+
+    depth = dataset.dcfg.depth
+    sx = ECFG.input_x / dataset.dcfg.width
+    sy = ECFG.input_y / dataset.dcfg.height
+    j2s, j3s, bbs, ws, vs, drs = [], [], [], [], [], []
+    for i in range(len(dataset)):
+        anns = dataset.anno_dic[dataset.ids[i]]
+        pk = pack_annotations(anns, ECFG.max_people, ECFG.num_joints)
+        j2 = pk.joints2d.copy()
+        j2[pk.valid, :, 0] *= sx
+        j2[pk.valid, :, 1] *= sy
+        j2[~pk.valid] = OOB
+        bb = pk.bboxes.copy()
+        bb[:, 0::2] *= sx
+        bb[:, 1::2] *= sy
+        j2s.append(j2)
+        j3s.append(pk.joints3d)
+        bbs.append(bb)
+        ws.append(pk.pose_weights)
+        vs.append(pk.valid)
+        drs.append(np.full((ECFG.zgrid_h, ECFG.zgrid_w), 5.9, np.float32))
+    targets = jax.vmap(
+        lambda a, b, c, d, e, f: encoders.encode_targets(
+            a, b, c, d, e, f, ECFG, depth, pose_align=False, with_prior=True
+        )
+    )(jnp.asarray(np.stack(j2s)), jnp.asarray(np.stack(j3s)),
+      jnp.asarray(np.stack(bbs)), jnp.asarray(np.stack(ws)),
+      jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(drs)))
+    prior_maps = np.asarray(targets["prior_map"], np.float32)
+
+    ref_metrics, ref_p2, ref_p3, ref_conf = _reference_yolo_full_eval(
+        prior_maps, val_data, ref_ds
+    )
+    assert ref_metrics["pck2d"] > 0.9, "oracle maps must score in the ~1.0 regime"
+
+    state = {"pos": 0}
+
+    def infer(images):
+        b = images.shape[0]
+        s = state["pos"]
+        state["pos"] += b
+        return jnp.asarray(prior_maps[s : s + b])
+
+    data = ev.run_yolo_eval(infer, dataset, batch_size=4, ecfg=ECFG, dcfg=DCFG)
+    ours = ev.evaluate_predictions(
+        data["human_pred_set_2d"], data["human_pred_set_3d"],
+        data["human_pred_set_part_conf"], data["human_gt_set_2d"],
+        data["human_gt_set_3d"], verbose=False,
+    )
+
+    assert sum(len(h) for h in ref_p2) > 0
+    assert [len(h) for h in data["human_pred_set_2d"]] == [len(h) for h in ref_p2]
+    for b in range(len(ref_p2)):
+        np.testing.assert_allclose(
+            np.asarray(data["human_pred_set_2d"][b], np.float64),
+            np.asarray(ref_p2[b], np.float64), atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(data["human_pred_set_3d"][b], np.float64),
+            np.asarray(ref_p3[b], np.float64), atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(data["human_pred_set_part_conf"][b], np.float64),
+            np.asarray(ref_conf[b], np.float64), atol=1e-5,
+        )
+    for k in ("pck2d", "pck3d", "map2d", "map3d"):
+        assert abs(ours[k] - ref_metrics[k]) < 1e-9, (k, ours[k], ref_metrics[k])
