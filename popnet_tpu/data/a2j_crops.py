@@ -39,7 +39,12 @@ def crop_resize_batch(
         bw = x1 - x0
         bh = y1 - y0
         u = jnp.arange(out_size, dtype=jnp.float32)
-        # cv2 INTER_NEAREST source index: floor(dst * scale)
+        # cv2 INTER_NEAREST source index: floor(dst * scale). One documented
+        # divergence: when dst*bw/out is an EXACT integer k, cv2's double
+        # dst*(bw/out) lands at k*(1 - 2^-53) and floors to k-1, while this
+        # f32 product is exact (dst*bw < 2^24) and floors to k — the
+        # mathematically exact tap. Affects only extents sharing a factor
+        # with out_size (tests/test_full_system_oracle.py pins the rest).
         sx = jnp.floor(u * bw / out_size) + x0
         sy = jnp.floor(u * bh / out_size) + y0
         gx = sx[None, :]

@@ -483,3 +483,179 @@ def test_full_system_yolo_maps_injected(frozen_set, torch_stack):
         )
     for k in ("pck2d", "pck3d", "map2d", "map3d"):
         assert abs(ours[k] - ref_metrics[k]) < 1e-9, (k, ours[k], ref_metrics[k])
+
+
+def test_full_system_a2j_gt_boxes(frozen_set):
+    """Full-system oracle for the Yolo-A2J row (stage 2), level 1: identical
+    A2J head tensors through the reference's complete driver
+    (a2j_test_pred_box.py:466-700 — dataPreprocess crop, anchor.post_process
+    voting, the y/x swap, box uncrop, pixel2world, group-by-image,
+    eval_human_dataset_2d fixed-threshold + _3d) and through ours
+    (cli.yolo_a2j.run_yolo_a2j_eval gt_boxes=True) must produce identical
+    prediction lists and identical metrics. The crop stage is additionally
+    pinned array-equal against the reference's dataPreprocess math on the
+    same frames and boxes.
+
+    anchor.post_process and the eval functions run as LIVE reference code;
+    dataPreprocess cannot be imported (its module loads cluster paths at
+    import time), so its crop math is transcribed verbatim below. The CNN
+    boundary is covered by tests/test_torch_import.py::test_a2j_activation_parity.
+    """
+    import cv2
+
+    from popnet_tpu.cli.yolo_a2j import run_yolo_a2j_eval, stage1_gt_boxes
+    from popnet_tpu.data.a2j_crops import CROP, crop_resize_batch
+    from popnet_tpu.eval import pck as our_pck
+    from popnet_tpu.models.a2j import generate_anchors, shift_anchors
+
+    ref_anchor = load_cr_module(
+        "fso_a2j_anchor", "third_party_methods/A2J_experiments/anchor.py"
+    )
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+    img_dir, ann_file = frozen_set
+    dataset = MPRealDataset(img_dir, ann_file, ecfg=ECFG)
+    # integer-valued in-bounds boxes: both crop conventions agree exactly
+    # there (the reference int-truncates box edges, clips to dim-1, and has
+    # an off-by-one in its OOB padding loop; those quirks only differ on
+    # fractional or out-of-bounds boxes)
+    W, H = dataset.dcfg.width, dataset.dcfg.height
+    from math import gcd
+
+    def coprime_extent(lo, hi, cap):
+        # box extents coprime with 288: no crop tap hits an exact-integer
+        # source quotient, where cv2's double dx*scale rounds one below the
+        # (mathematically exact) f32 one-hot tap — a measure-zero, documented
+        # convention divergence (data/a2j_crops.py)
+        while gcd(int(hi - lo), 288) != 1 and hi < cap:
+            hi += 1
+        while gcd(int(hi - lo), 288) != 1:
+            hi -= 1
+        return hi
+
+    for anns in dataset.anno_dic.values():
+        for a in anns:
+            b = np.round(np.asarray(a["bbox"][:4], np.float64))
+            b[0] = np.clip(b[0], 1, W - 2)
+            b[2] = np.clip(b[2], b[0] + 1, W - 2)
+            b[1] = np.clip(b[1], 1, H - 2)
+            b[3] = np.clip(b[3], b[1] + 1, H - 2)
+            b[2] = coprime_extent(b[0], b[2], W - 2)
+            b[3] = coprime_extent(b[1], b[3], H - 2)
+            a["bbox"] = b.tolist()
+    image_idx, boxes = stage1_gt_boxes(dataset)
+    assert len(boxes) > 0 and np.all(boxes == np.round(boxes))
+
+    raws = [dataset.load_composited(i)[0].astype(np.float64)
+            for i in range(len(dataset))]
+
+    # ---- crop boundary: reference dataPreprocess (verbatim math) vs ours
+    MEAN, STD = dataset.dcfg.depth.mean, dataset.dcfg.depth.std
+    ref_crops = []
+    for n in range(len(boxes)):
+        depth_img = raws[int(image_idx[n])]
+        b = boxes[n]
+        new_Xmin, new_Ymin = max(b[0], 0), max(b[1], 0)
+        new_Xmax = min(b[2], depth_img.shape[1] - 1)
+        new_Ymax = min(b[3], depth_img.shape[0] - 1)
+        imCrop = depth_img.copy()[int(new_Ymin):int(new_Ymax),
+                                  int(new_Xmin):int(new_Xmax)]
+        imgResize = cv2.resize(imCrop, (CROP, CROP),
+                               interpolation=cv2.INTER_NEAREST)
+        imgResize = np.asarray(imgResize, dtype="float32")
+        ref_crops.append((imgResize - MEAN) / STD)
+    ref_crops = np.stack(ref_crops)
+
+    our_crops = np.asarray(crop_resize_batch(
+        jnp.asarray(np.stack(raws), jnp.float32), jnp.asarray(image_idx),
+        jnp.asarray(boxes, jnp.float32), MEAN, STD, CROP,
+    ))[..., 0]
+    np.testing.assert_allclose(our_crops, ref_crops, atol=1e-6)
+
+    # ---- injected heads -> both complete decode+eval chains
+    shape = (CROP // 16, CROP // 16)
+    anchors_np = shift_anchors(shape, 16, generate_anchors())
+    N_anchor, K = anchors_np.shape[0], 15
+    rng = np.random.default_rng(11)
+    n_box = len(boxes)
+    cls = rng.normal(0, 1, (n_box, N_anchor, K)).astype(np.float32)
+    reg = rng.normal(0, 5, (n_box, N_anchor, K, 2)).astype(np.float32)
+    dep = rng.uniform(1, 5, (n_box, N_anchor, K)).astype(np.float32)
+
+    # reference chain (live anchor.post_process, then the driver's verbatim
+    # uncrop / pixel2world / grouping, a2j_test_pred_box.py:556-700)
+    pp = ref_anchor.post_process.__new__(ref_anchor.post_process)
+    torch.nn.Module.__init__(pp)
+    pp.all_anchors = torch.from_numpy(anchors_np).float()
+    pp.thres = torch.tensor(8.0)
+    pp.is_3D = True
+    result = pp.forward(
+        (torch.from_numpy(cls), torch.from_numpy(reg), torch.from_numpy(dep))
+    ).numpy()                                    # (n_box, K, 3) (y, x, z)
+    Test1 = result.copy()
+    Test1[:, :, 0] = result[:, :, 1]
+    Test1[:, :, 1] = result[:, :, 0]
+    for i in range(len(Test1)):
+        Test1[i, :, 0] = Test1[i, :, 0] * (boxes[i, 2] - boxes[i, 0]) / CROP + boxes[i, 0]
+        Test1[i, :, 1] = Test1[i, :, 1] * (boxes[i, 3] - boxes[i, 1]) / CROP + boxes[i, 1]
+    intr = dataset.intrinsics or dataset.dcfg.intrinsics
+    Xw = (Test1[:, :, 0] - intr.cx) / intr.fx * Test1[:, :, 2]
+    Yw = (Test1[:, :, 1] - intr.cy) / intr.fy * Test1[:, :, 2]
+    ref_p2 = [[] for _ in range(len(dataset))]
+    ref_p3 = [[] for _ in range(len(dataset))]
+    for n in range(n_box):
+        i = int(image_idx[n])
+        ref_p2[i].append(Test1[n, :, :2].tolist())
+        ref_p3[i].append(
+            np.stack([Xw[n], Yw[n], Test1[n, :, 2]], 1).tolist()
+        )
+    gt2d_set, gt3d_set = dataset.gt_human_lists()
+    dist_th_2d = 0.02 * np.sqrt(480.0**2 + 512.0**2)
+    _, ref_pck2d = ref_pck.eval_human_dataset_2d(
+        ref_p2, gt2d_set, num_joints=K, dist_th=dist_th_2d, iou_th=0.5
+    )
+    _, ref_pck3d = ref_pck.eval_human_dataset_3d(
+        ref_p2, gt2d_set, ref_p3, gt3d_set, num_joints=K,
+        dist_th=0.1, iou_th=0.5,
+    )
+
+    # our chain: the full two-stage driver with the same heads injected in
+    # crop order
+    state = {"pos": 0}
+
+    def infer_a2j(crops):
+        b = crops.shape[0]
+        s = state["pos"]
+        state["pos"] += b
+        return (
+            jnp.asarray(cls[s : s + b]),
+            jnp.asarray(reg[s : s + b]),
+            jnp.asarray(dep[s : s + b]),
+        )
+
+    data = run_yolo_a2j_eval(None, infer_a2j, dataset, ecfg=ECFG, dcfg=DCFG,
+                             gt_boxes=True)
+    assert [len(h) for h in data["human_pred_set_2d"]] == [len(h) for h in ref_p2]
+    for b in range(len(ref_p2)):
+        np.testing.assert_allclose(
+            np.asarray(data["human_pred_set_2d"][b], np.float64),
+            np.asarray(ref_p2[b], np.float64)[..., :2], atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(data["human_pred_set_3d"][b], np.float64),
+            np.asarray(ref_p3[b], np.float64), atol=1e-3,
+        )
+    _, our_pck2d = our_pck.eval_human_dataset_2d(
+        data["human_pred_set_2d"], data["human_gt_set_2d"], num_joints=K,
+        dist_th=dist_th_2d, iou_th=0.5,
+    )
+    _, our_pck3d = our_pck.eval_human_dataset_3d(
+        data["human_pred_set_2d"], data["human_gt_set_2d"],
+        data["human_pred_set_3d"], data["human_gt_set_3d"], num_joints=K,
+        dist_th=0.1, iou_th=0.5,
+    )
+    np.testing.assert_allclose(np.nanmean(our_pck2d), np.nanmean(ref_pck2d),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.nanmean(our_pck3d), np.nanmean(ref_pck3d),
+                               atol=1e-9)
