@@ -34,6 +34,7 @@ def test_bench_seed_metrics_floor():
     ("bench_weights_popnet.npz", "popnet"),
     ("bench_weights_openpose.npz", "openpose"),
     ("bench_weights_yolo.npz", "yolo"),
+    ("bench_weights_a2j.npz", "a2j"),
 ])
 def test_bench_weights_load_shape_exact(name, build):
     path = os.path.join(RESULTS, name)
@@ -42,13 +43,14 @@ def test_bench_weights_load_shape_exact(name, build):
     import jax
     import jax.numpy as jnp
 
-    from popnet_tpu.models import PopNet, RTPoseLight3D, YoloPoseNet
+    from popnet_tpu.models import A2J, PopNet, RTPoseLight3D, YoloPoseNet
     from popnet_tpu.serving import variables_from_npz
 
     model = {"popnet": PopNet, "openpose": RTPoseLight3D,
-             "yolo": YoloPoseNet}[build]()
+             "yolo": YoloPoseNet, "a2j": A2J}[build]()
+    size = 288 if build == "a2j" else 224
     fresh = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1)), train=False
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)), train=False
     )
     loaded = variables_from_npz(path)
 
