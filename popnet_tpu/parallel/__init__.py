@@ -11,3 +11,10 @@ from popnet_tpu.parallel.tensor import (  # noqa: F401
     shard_state,
     state_shardings,
 )
+from popnet_tpu.parallel.spatial import (  # noqa: F401
+    jit_forward_spatial,
+    jit_step_spatial,
+    make_spatial_mesh,
+    replicate_state,
+    shard_batch_spatial,
+)
