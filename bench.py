@@ -31,7 +31,9 @@ proven in tests/test_quant_int8.py; default exact bf16), BENCH_PACK=q16|f32
 (default q16: the fixed-point uint16 wire buffer, 3x fewer D2H bytes;
 quantization <=1/32 px / <=0.13 mm, far under the benchmark thresholds —
 BENCH_PACK=f32 for the exact-float wire), BENCH_PEAK_TFLOPS (per-chip peak
-for the MFU figure; default 197 = TPU v5e bf16).
+for the MFU figure; default 197 = TPU v5e bf16), BENCH_FOLD_BN=1 (fold
+Conv->BatchNorm pairs into the conv weights before compiling — exact,
+ops/fold_bn.py; parity in tests/test_fold_bn.py).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "mfu",
 "gflops_per_frame"}. Baseline: the driver north-star of 2000 depth
@@ -78,6 +80,7 @@ def main():
     stage = os.environ.get("BENCH_STAGE", "full")
     pack = os.environ.get("BENCH_PACK", "q16")
     quant = os.environ.get("BENCH_QUANT") or None  # int8: dynamic-quantized CNN
+    fold_bn = os.environ.get("BENCH_FOLD_BN", "") not in ("", "0")
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     rng = np.random.default_rng(0)
     if mode == "rtpose_vgg":
@@ -109,11 +112,13 @@ def main():
 
     if mode == "openpose":
         pipeline = build_openpose_pipeline(variables, stage=stage, pack=pack,
-                                           quant=quant)
+                                           quant=quant, fold_bn=fold_bn)
     elif mode == "popnet":
-        pipeline = build_popnet_pipeline(variables, pack=pack, quant=quant)
+        pipeline = build_popnet_pipeline(variables, pack=pack, quant=quant,
+                                         fold_bn=fold_bn)
     elif mode == "yolo":
-        pipeline = build_yolo_pipeline(variables, pack=pack, quant=quant)
+        pipeline = build_yolo_pipeline(variables, pack=pack, quant=quant,
+                                       fold_bn=fold_bn)
     elif mode == "yolo_a2j":
         # stage-2 weights: BENCH_CKPT_A2J, else the committed trained A2J
         a2j_ckpt = os.environ.get("BENCH_CKPT_A2J")
@@ -127,9 +132,11 @@ def main():
         a2j_variables = variables_from_npz(a2j_ckpt) if a2j_ckpt else None
         pipeline = build_yolo_a2j_pipeline(yolo_variables=variables,
                                            a2j_variables=a2j_variables,
-                                           pack=pack, quant=quant)
+                                           pack=pack, quant=quant,
+                                           fold_bn=fold_bn)
     elif mode == "rtpose_vgg":
-        pipeline = build_rtpose_vgg_pipeline(variables, quant=quant)
+        pipeline = build_rtpose_vgg_pipeline(variables, quant=quant,
+                                             fold_bn=fold_bn)
     else:
         raise SystemExit(f"unknown BENCH_MODEL {mode!r}")
     metric = f"{mode}_e2e_inference" if stage == "full" else f"{mode}_{stage}_only"

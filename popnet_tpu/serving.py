@@ -203,6 +203,16 @@ def _maybe_shard(fn, mesh: Mesh | None):
     return jax.jit(fn, in_shardings=spec, out_shardings=spec)
 
 
+def _maybe_fold(variables, fold_bn: bool):
+    """Optionally fold Conv->BatchNorm pairs in a checkpoint (exact;
+    ops/fold_bn.py) before the pipeline closes over it."""
+    if not fold_bn:
+        return variables
+    from popnet_tpu.ops.fold_bn import fold_batchnorm
+
+    return fold_batchnorm(variables)[0]
+
+
 def _apply_model(model, variables, x, quant: str | None):
     """model.apply, optionally through the dynamic-int8 conv path
     (ops/quant.py; metric-parity proven in tests/test_quant_int8.py)."""
@@ -226,6 +236,7 @@ def build_openpose_pipeline(
     stage: str = "full",
     pack: str = "f32",
     quant: str | None = None,
+    fold_bn: bool = False,
 ):
     """Open-Pose+ serving fn: (B, H, W) raw depth -> (B, L) packed buffer.
 
@@ -239,6 +250,7 @@ def build_openpose_pipeline(
     model = RTPoseLight3D(dtype=dtype)
     if variables is None:
         variables = init_variables(model)
+    variables = _maybe_fold(variables, fold_bn)
 
     def pipeline(raw_depth):
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
@@ -272,6 +284,7 @@ def build_popnet_pipeline(
     readout: str = "universe",
     pack: str = "f32",
     quant: str | None = None,
+    fold_bn: bool = False,
 ):
     """PoP-Net serving fn: (B, H, W) raw depth -> (B, L) packed buffer."""
     from popnet_tpu.decode.popnet_infer import popnet_decode
@@ -280,6 +293,7 @@ def build_popnet_pipeline(
     model = PopNet(dtype=dtype)
     if variables is None:
         variables = init_variables(model)
+    variables = _maybe_fold(variables, fold_bn)
 
     def pipeline(raw_depth):
         x = preproc_depth(raw_depth, depth, ecfg.input_y, ecfg.input_x)
@@ -323,6 +337,7 @@ def build_rtpose_vgg_pipeline(
     mesh: Mesh | None = None,
     pack: str = "f32",
     quant: str | None = None,
+    fold_bn: bool = False,
     preprocess: str = "rtpose",
 ):
     """COCO RGB serving fn: (B, H, W, 3) BGR frames -> (B, L) packed buffer.
@@ -360,6 +375,7 @@ def build_rtpose_vgg_pipeline(
                 train=False,
             )
         variables = jax.device_put(variables, jax.devices()[0])
+    variables = _maybe_fold(variables, fold_bn)
 
     def pipeline(frames):
         B, H, W, _ = frames.shape
@@ -391,6 +407,7 @@ def build_yolo_pipeline(
     mesh: Mesh | None = None,
     pack: str = "f32",
     quant: str | None = None,
+    fold_bn: bool = False,
     w_out: float = 480.0,
     h_out: float = 512.0,
 ):
@@ -407,6 +424,7 @@ def build_yolo_pipeline(
     model = YoloPoseNet(dtype=dtype)
     if variables is None:
         variables = init_variables(model)
+    variables = _maybe_fold(variables, fold_bn)
     anchors = jnp.asarray(np.asarray(ecfg.anchors, np.float32))
     K = ecfg.num_joints
 
@@ -444,6 +462,7 @@ def build_yolo_a2j_pipeline(
     mesh: Mesh | None = None,
     pack: str = "f32",
     quant: str | None = None,
+    fold_bn: bool = False,
     max_crops: int = 4,
     w_out: float = 480.0,
     h_out: float = 512.0,
@@ -476,6 +495,8 @@ def build_yolo_a2j_pipeline(
                 train=False,
             )
         a2j_variables = jax.device_put(a2j_variables, jax.devices()[0])
+    yolo_variables = _maybe_fold(yolo_variables, fold_bn)
+    a2j_variables = _maybe_fold(a2j_variables, fold_bn)
     anchors = jnp.asarray(np.asarray(ecfg.anchors, np.float32))
     all_anchors = jnp.asarray(
         shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
