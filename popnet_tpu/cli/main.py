@@ -369,6 +369,11 @@ def cmd_evaluate(args):
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
+    if getattr(args, "fold_bn", False):
+        # exact Conv->BN fold (ops/fold_bn.py; parity in tests/test_fold_bn.py)
+        from popnet_tpu.ops.fold_bn import fold_batchnorm
+
+        variables = fold_batchnorm(variables)[0]
 
     dataset = MPRealDataset(
         os.path.join(args.data_root, "depth_maps"),
@@ -651,6 +656,11 @@ def build_parser():
         help="serve the CNN through dynamic-int8 MXU convolutions "
              "(ops/quant.py; ~1.2-1.35x on TPU, metric-parity proven in "
              "tests/test_quant_int8.py)",
+    )
+    e.add_argument(
+        "--fold-bn", action="store_true", dest="fold_bn",
+        help="fold Conv->BatchNorm pairs into the conv weights before "
+             "compiling (exact; ops/fold_bn.py)",
     )
     e.set_defaults(fn=cmd_evaluate)
 
