@@ -109,3 +109,46 @@ def test_fold_bn_serving_wire_parity():
         build_popnet_pipeline(variables, dtype=jnp.float32, fold_bn=True)(frames)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fold_covers_every_bn():
+    """Every BatchNorm scope in the flagship models is paired with a conv
+    and folded — none silently skipped."""
+    for model in (RTPoseLight3D(), PopNet(), YoloPoseNet()):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1), jnp.float32),
+            train=False,
+        )
+        n_bn = sum(
+            1 for k in jax.tree_util.tree_flatten_with_path(
+                variables["batch_stats"])[0]
+            for k in [None]
+        ) // 2  # mean + var per BN
+        _, paths = fold_batchnorm(variables)
+        assert len(paths) == n_bn, (type(model).__name__, len(paths), n_bn)
+
+
+def test_fold_composes_with_int8():
+    """fold_bn + dynamic-int8 serving (the documented composition): the
+    pipeline runs and stays within the int8 path's own tolerance of the
+    exact-f32 wire."""
+    from popnet_tpu.serving import build_popnet_pipeline, variables_from_npz
+
+    ckpt = os.path.join(RESULTS, "bench_weights_popnet.npz")
+    variables = variables_from_npz(ckpt)
+    frames = jnp.asarray(
+        np.random.default_rng(3).uniform(0.5, 5.5, (2, 128, 120)).astype(np.float32)
+    )
+    exact = np.asarray(build_popnet_pipeline(variables, dtype=jnp.float32)(frames))
+    both = np.asarray(
+        build_popnet_pipeline(
+            variables, dtype=jnp.float32, quant="int8", fold_bn=True
+        )(frames)
+    )
+    int8_only = np.asarray(
+        build_popnet_pipeline(variables, dtype=jnp.float32, quant="int8")(frames)
+    )
+    # fold must not widen the int8 path's deviation from exact
+    d_both = np.abs(both - exact).max()
+    d_int8 = np.abs(int8_only - exact).max()
+    assert d_both <= d_int8 + 0.05, (d_both, d_int8)
