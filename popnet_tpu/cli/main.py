@@ -465,17 +465,26 @@ def _evaluate_yolo_a2j(args, ecfg, dcfg, decfg):
         os.path.join(args.data_root, args.labels), ecfg=ecfg, dcfg=dcfg,
     )
 
+    def _variables(state):
+        v = {"params": state.params}
+        if state.batch_stats is not None:
+            v["batch_stats"] = state.batch_stats
+        if getattr(args, "fold_bn", False):
+            # exact Conv->BN fold for BOTH stages (ADVICE r3: the flag used
+            # to be silently ignored on the a2j path)
+            from popnet_tpu.ops.fold_bn import fold_batchnorm
+
+            v = fold_batchnorm(v)[0]
+        return v
+
+    a2j_v = _variables(a2j_state)
+    yolo_v = _variables(yolo_state) if yolo_state is not None else None
+
     def infer_yolo(images):
-        v = {"params": yolo_state.params}
-        if yolo_state.batch_stats is not None:
-            v["batch_stats"] = yolo_state.batch_stats
-        return yolo.apply(v, images, train=False)
+        return yolo.apply(yolo_v, images, train=False)
 
     def infer_a2j(crops):
-        v = {"params": a2j_state.params}
-        if a2j_state.batch_stats is not None:
-            v["batch_stats"] = a2j_state.batch_stats
-        return a2j.apply(v, crops, train=False)
+        return a2j.apply(a2j_v, crops, train=False)
 
     data = run_yolo_a2j_eval(
         infer_yolo if yolo_state is not None else None, infer_a2j, dataset,

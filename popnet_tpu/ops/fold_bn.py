@@ -36,7 +36,11 @@ import jax.numpy as jnp
 
 __all__ = ["fold_batchnorm"]
 
-_BN_EPS = 1e-5  # flax.linen.BatchNorm default; every model uses the default
+# flax.linen.BatchNorm default. INVARIANT: every model in this repo uses the
+# default epsilon — a custom-eps BatchNorm would fold silently inexactly.
+# Enforced by tests/test_fold_bn.py::test_no_model_overrides_bn_epsilon
+# (source scan) plus the mandatory randomized-stats parity test per family.
+_BN_EPS = 1e-5
 
 
 def _to_plain(tree):

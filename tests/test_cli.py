@@ -74,3 +74,18 @@ def test_cli_evaluate_untrained_yolo(data, tmp_path):
     res = json.load(open(os.path.join(out, "yolo_results.json")))
     assert "human_pred_set_2d" in res and "human_gt_set_2d" in res
     assert len(res["human_pred_set_2d"]) == len(res["human_gt_set_2d"])
+
+
+def test_cli_evaluate_a2j_fold_bn(data, tmp_path):
+    """evaluate --model a2j honors --fold-bn (ADVICE r3: the flag used to be
+    silently dropped on the two-stage path); gt-boxes ablation mode, random
+    weights — the run must complete and emit the contract JSON."""
+    root, _ = data
+    out = str(tmp_path / "preds_a2j")
+    main([
+        "evaluate", "--data-root", root, "--model", "a2j", "--gt-boxes",
+        "--fold-bn", "--input-size", "64", "--batch-size", "4",
+        "--out-dir", out,
+    ])
+    res = json.load(open(os.path.join(out, "a2j_results.json")))
+    assert "human_pred_set_2d" in res and "human_gt_set_2d" in res

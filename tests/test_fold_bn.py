@@ -15,7 +15,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from popnet_tpu.models import A2J, PopNet, RTPoseLight3D, RTPoseVGG, YoloPoseNet
+from popnet_tpu.models import (
+    A2J, PopNet, PopNetRGB, RTPoseAlign3D, RTPoseLight, RTPoseLight3D,
+    RTPoseVGG, YoloPoseNet,
+)
 from popnet_tpu.ops.fold_bn import fold_batchnorm
 
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "examples", "results")
@@ -50,16 +53,25 @@ def _randomize_bn(variables, seed=0):
     return variables
 
 
+# EVERY exported BN-bearing model family must have a row here — the fold's
+# autoname-index pairing is only proven by this randomized parity test
+# (ADVICE r3); test_every_bn_family_is_parity_tested enforces the listing.
+PARITY_CASES = [
+    (RTPoseLight3D(), (64, 64), 1),
+    (RTPoseLight(), (64, 64), 1),
+    (RTPoseAlign3D(), (64, 64), 1),
+    (PopNet(), (64, 64), 1),
+    (PopNetRGB(), (64, 64), 3),
+    (YoloPoseNet(), (64, 64), 1),
+    (A2J(), (96, 96), 1),
+    (RTPoseVGG(trunk="mobilenet"), (64, 64), 3),  # vgg19 trunk has no BN
+]
+
+
 @pytest.mark.parametrize(
     "model,hw,cin",
-    [
-        (RTPoseLight3D(), (64, 64), 1),
-        (PopNet(), (64, 64), 1),
-        (YoloPoseNet(), (64, 64), 1),
-        (A2J(), (96, 96), 1),
-        (RTPoseVGG(trunk="mobilenet"), (64, 64), 3),  # vgg19 trunk has no BN
-    ],
-    ids=["rtpose_light3d", "popnet", "yolo", "a2j", "rtpose_vgg"],
+    PARITY_CASES,
+    ids=[type(m).__name__ for m, _, _ in PARITY_CASES],
 )
 def test_fold_activation_parity(model, hw, cin):
     x = jnp.asarray(
@@ -152,3 +164,53 @@ def test_fold_composes_with_int8():
     d_both = np.abs(both - exact).max()
     d_int8 = np.abs(int8_only - exact).max()
     assert d_both <= d_int8 + 0.05, (d_both, d_int8)
+
+
+def test_no_model_overrides_bn_epsilon():
+    """ops/fold_bn.py hardcodes the flax default epsilon (_BN_EPS=1e-5); a
+    model passing a custom eps would fold silently inexactly — the
+    channel-count guard cannot catch it (ADVICE r3). Source-scan every model
+    module for an epsilon override."""
+    models_dir = os.path.join(
+        os.path.dirname(__file__), "..", "popnet_tpu", "models"
+    )
+    offenders = [
+        fname
+        for fname in sorted(os.listdir(models_dir))
+        if fname.endswith(".py")
+        and "epsilon" in open(os.path.join(models_dir, fname)).read()
+    ]
+    assert not offenders, (
+        f"{offenders} override BatchNorm epsilon; thread eps per-module into "
+        "ops/fold_bn.py before folding these families"
+    )
+
+
+def test_every_bn_family_is_parity_tested():
+    """ADVICE r3: fold pairing is autoname-index based, so the randomized
+    parity test above is MANDATORY for every BN-bearing model family. Fail
+    loudly when a new exported model carries batch_stats without a
+    PARITY_CASES row."""
+    import popnet_tpu.models as M
+
+    covered = {type(m).__name__ for m, _, _ in PARITY_CASES}
+    exported = [
+        name for name in dir(M)
+        if not name.startswith("_") and isinstance(getattr(M, name), type)
+    ]
+    for name in exported:
+        cls = getattr(M, name)
+        try:
+            model = cls()
+        except TypeError:
+            continue  # not a no-arg model (none today)
+        cin = 3 if "RGB" in name or name == "RTPoseVGG" else 1
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, cin), jnp.float32),
+            train=False,
+        )
+        if variables.get("batch_stats") and name not in covered:
+            raise AssertionError(
+                f"model family {name} has BatchNorms but no randomized "
+                "fold-parity row in PARITY_CASES (tests/test_fold_bn.py)"
+            )
