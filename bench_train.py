@@ -55,6 +55,24 @@ def main():
             bg_dir=paths["bg_dir"], seg_dir=paths["seg_dir"], ecfg=ecfg,
             is_train=True,
         )
+    elif pipeline == "stream":
+        # chunk-streaming bank: bank-exceeding sets stream through HBM in
+        # double-buffered shards (TRAIN_SHARD indices/shard, TRAIN_REPEATS
+        # passes per resident shard)
+        from popnet_tpu.data.streaming import StreamingDeviceMPAugDataset
+
+        ds = StreamingDeviceMPAugDataset(
+            paths["img_dir"], paths["labels_locs"], bg_file=paths["labels_bg"],
+            bg_dir=paths["bg_dir"], seg_dir=paths["seg_dir"], ecfg=ecfg,
+            is_train=True,
+            shard_indices=int(os.environ.get("TRAIN_SHARD", "64")),
+            shard_repeats=int(os.environ.get("TRAIN_REPEATS", "1")),
+        )
+        print(json.dumps({
+            "note": "stream geometry",
+            "n_shards": ds.n_shards,
+            "shard_mb": round(ds.shard_bytes() / 1e6, 1),
+        }))
     else:
         ds = KDH3DDataset(paths["img_dir"], paths["labels"], ecfg=ecfg,
                           is_train=True, transfer=transfer)
@@ -93,6 +111,18 @@ def main():
             jax.block_until_ready(b["image"])
         dt_data = time.perf_counter() - t0
 
+        # host assembly stage alone (no device work): the stage the
+        # pipelined iterator overlaps with H2D + step
+        host_fps = None
+        if pipeline == "host":
+            order = np.arange(len(ds))
+            t0 = time.perf_counter()
+            nh = 0
+            for s in range(0, n_images - batch_size + 1, batch_size):
+                ds.get_batch_host(order[s : s + batch_size])
+                nh += batch_size
+            host_fps = round(nh / (time.perf_counter() - t0), 1)
+
         # warm epoch (compile), then timed epoch; final loss materialization
         # is the hard sync (block_until_ready is unreliable on this backend)
         trainer.train_epoch(ds, batch_size)
@@ -106,12 +136,13 @@ def main():
         cached = next(iter(ds.iter_batches(batch_size, prefetch=0)))
         state = trainer.state
         step_iters = max(steps, 8)
-        step_flops = None
+        step_flops = step_bytes = None
         try:
             cost = trainer.step_fn.lower(state, cached).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             step_flops = float(cost.get("flops", 0.0)) or None
+            step_bytes = float(cost.get("bytes accessed", 0.0)) or None
         except Exception:
             pass
         state, logs = trainer.step_fn(state, cached)
@@ -124,6 +155,7 @@ def main():
         assert np.isfinite(lval)
 
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        PEAK_BW = float(os.environ.get("BENCH_PEAK_GBPS", "819")) * 1e9
         mfu = (
             round(step_flops * step_iters / dt_step / peak, 4)
             if step_flops else None
@@ -136,9 +168,18 @@ def main():
             "transfer": transfer,
             "frames_per_sec": round(steps * batch_size / dt, 1),
             "input_pipeline_fps": round(n / dt_data, 1),
+            "host_stage_fps": host_fps,
             "device_step_fps": round(step_iters * batch_size / dt_step, 1),
             "train_mfu": mfu,
             "gflops_per_step": round(step_flops / 1e9, 1) if step_flops else None,
+            # deterministic cost-model figure (VERDICT r3 item 9): the
+            # roofline lower bound of the compiled program, immune to the
+            # +-30% tunnel/wall-clock noise — compare THIS across rounds
+            "roofline_ms_per_frame": (
+                round(max(step_flops / peak, (step_bytes or 0) / PEAK_BW)
+                      / batch_size * 1e3, 4)
+                if step_flops else None
+            ),
             "final_loss": round(float(loss), 4),
         }))
 

@@ -195,6 +195,73 @@ def _pack_meta(params_list, packed) -> np.ndarray:
     return np.stack(rows)
 
 
+_STOP = object()  # pipeline end-of-stream sentinel
+
+
+def _pipeline_iter(source, stages, depth: int):
+    """Run `source` items through `stages` (1-arg fns), one thread per stage
+    with bounded queues of `depth`; yields final results in order. Errors in
+    any stage propagate to the consumer; abandoning the generator
+    (GeneratorExit) unwinds every stage."""
+    import queue
+    import threading
+
+    qs = [queue.Queue(maxsize=max(1, depth)) for _ in range(len(stages) + 1)]
+    abandoned = threading.Event()
+    errs: list[Exception] = []
+
+    def _put(q, item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def feeder():
+        try:
+            for item in source:
+                if abandoned.is_set() or not _put(qs[0], item):
+                    return
+        except Exception as e:
+            errs.append(e)
+        finally:
+            _put(qs[0], _STOP)
+
+    def worker(i, fn):
+        try:
+            while True:
+                item = qs[i].get()
+                if item is _STOP or abandoned.is_set():
+                    return
+                if not _put(qs[i + 1], fn(item)):
+                    return
+        except Exception as e:
+            errs.append(e)
+        finally:
+            _put(qs[i + 1], _STOP)
+
+    threads = [threading.Thread(target=feeder, daemon=True)] + [
+        threading.Thread(target=worker, args=(i, fn), daemon=True)
+        for i, fn in enumerate(stages)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            item = qs[-1].get()
+            if item is _STOP:
+                break
+            yield item
+    finally:
+        abandoned.set()
+        for t in threads:
+            t.join(timeout=5.0)
+    if errs:
+        raise errs[0]
+
+
 class _BaseDataset:
     def __init__(
         self,
@@ -265,13 +332,31 @@ class _BaseDataset:
             hflip=False,
         )
 
-    def get_batch(self, indices):
-        """Host IO + scalar augmentation, then one fused device program."""
+    def get_batch_host(self, indices):
+        """Host stage only: IO + scalar augmentation + label packing, all
+        numpy. Split from to_device so iter_batches can run host assembly
+        and H2D transfer + device dispatch on separate pipeline threads
+        (e2e ~= max(stage) instead of their serial sum)."""
         h, w = self.dcfg.height, self.dcfg.width
-        images, params_list, packed = [], [], []
-        for idx in indices:
+        u16 = self.transfer == "u16mm"
+        images = np.empty((len(indices), h, w), np.uint16 if u16 else np.float32)
+        params_list, packed = [], []
+        for n, idx in enumerate(indices):
             depth, anns = self.load_composited(int(idx))
-            images.append(depth)
+            if u16:
+                # uint16 millimeters: lossless for mm-native recordings,
+                # halves the dominant H2D bytes (device casts back to
+                # meters). Converted PER FRAME into the preallocated batch
+                # buffer: the old whole-batch round/clip/astype allocated
+                # three batch-sized f32 temporaries (~380 MB at b128 on
+                # 512x480), which collapsed 1-core host throughput at large
+                # batch (PARITY train table, 210 -> 71 fps); per-frame temps
+                # stay ~1 MB and cache-resident.
+                t = np.round(depth * 1000.0)
+                np.clip(t, 0, 65535, out=t)
+                images[n] = t  # exact: t holds integral f32 values
+            else:
+                images[n] = depth
             if self.augment:
                 params = ad.sample_augment_params(
                     self.rng, h, w, self.ecfg.input_y, self.ecfg.input_x,
@@ -287,14 +372,13 @@ class _BaseDataset:
             )
             j2[~pk.valid] = OOB
             packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
+        return images, _pack_meta(params_list, packed), indices
 
-        images = np.stack(images)
-        if self.transfer == "u16mm":
-            # uint16 millimeters: lossless for mm-native recordings, halves
-            # the dominant H2D bytes (device casts back to meters)
-            images = np.clip(np.round(images * 1000.0), 0, 65535).astype(np.uint16)
+    def to_device(self, host):
+        """Device stage: H2D transfer + the fused warp/encode program."""
+        images, meta, indices = host
         batch = prepare_batch_packed(
-            jnp.asarray(images), jnp.asarray(_pack_meta(params_list, packed)),
+            jnp.asarray(images), jnp.asarray(meta),
             self.ecfg, self.dcfg,
             pose_align=self.pose_align, with_prior=self.with_prior,
             pred_vis=self.pred_vis, encode=self.is_train,
@@ -303,11 +387,22 @@ class _BaseDataset:
             batch["index"] = np.asarray(indices)
         return batch
 
+    def get_batch(self, indices):
+        """Host IO + scalar augmentation, then one fused device program."""
+        return self.to_device(self.get_batch_host(indices))
+
     def iter_batches(self, batch_size: int, shuffle: bool | None = None,
                      drop_last: bool = True, prefetch: int = 2):
-        """Yield device batches; `prefetch` batches are assembled ahead on a
-        background thread so host IO overlaps device compute (replaces the
-        reference's DataLoader worker pool)."""
+        """Yield device batches, assembled ahead of the consumer (replaces
+        the reference's DataLoader worker pool,
+        train_rtpose_light3d_kdh3d.py:121-123).
+
+        When the dataset uses the base get_batch, the work is PIPELINED in
+        two stages on separate threads — host assembly (get_batch_host) and
+        H2D transfer + device dispatch (to_device) — so with the consumer's
+        device step that is a three-deep pipeline and e2e throughput is
+        ~max(host, transfer, step) rather than their serial sum. Datasets
+        that override get_batch keep the single-stage prefetch thread."""
         order = np.arange(len(self))
         if shuffle if shuffle is not None else self.is_train:
             self.rng.shuffle(order)
@@ -320,48 +415,13 @@ class _BaseDataset:
                 yield self.get_batch(order[s : s + batch_size])
             return
 
-        import queue
-        import threading
-
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        abandoned = threading.Event()
-        err = []
-
-        def _put(item) -> bool:
-            # bounded put that notices consumer abandonment (GeneratorExit)
-            while not abandoned.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                for s in starts:
-                    if abandoned.is_set():
-                        return
-                    if not _put(self.get_batch(order[s : s + batch_size])):
-                        return
-            except Exception as e:  # surface worker errors to the consumer
-                err.append(e)
-            finally:
-                _put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield item
-        finally:
-            abandoned.set()
-            t.join(timeout=5.0)
-        if err:
-            raise err[0]
+        if type(self).get_batch is _BaseDataset.get_batch:
+            stages = [self.get_batch_host, self.to_device]
+        else:
+            stages = [self.get_batch]
+        yield from _pipeline_iter(
+            (order[s : s + batch_size] for s in starts), stages, prefetch
+        )
 
 
 class KDH3DDataset(_BaseDataset):
@@ -508,6 +568,16 @@ class DeviceMPAugDataset(KDH3DMPAugDataset):
         self.bank_bg = jnp.asarray(np.stack(bgs))
 
     def get_batch(self, indices):
+        return self._bank_batch(
+            indices, self._row, self.bank_depth, self.bank_seg, self.bank_bg
+        )
+
+    def _bank_batch(self, indices, row_of, bank_depth, bank_seg, bank_bg):
+        """Assemble one banked batch: host draws indices/labels only, then
+        prepare_batch_banked gathers + composites + encodes on device.
+        Parameterized over the bank so the chunk-streaming dataset
+        (data/streaming.py) reuses the exact sampling semantics against its
+        shard-resident banks."""
         h, w = self.dcfg.height, self.dcfg.width
         L = self.MAX_LAYERS
         layer_ids = np.zeros((len(indices), L), np.int32)
@@ -525,14 +595,14 @@ class DeviceMPAugDataset(KDH3DMPAugDataset):
                 ii = ii % len(self.ids_list)
                 image_id = self.ids_list[ii][idx % len(self.ids_list[ii])]
                 anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
-                layer_ids[n, slot] = self._row[image_id]
+                layer_ids[n, slot] = row_of[image_id]
                 keep[n, slot] = True
                 slot += 1
             if not anns:  # ensure at least one person (reference :278-288)
                 ii = int(self.rng.integers(0, len(self.ids_list)))
                 image_id = self.ids_list[ii][idx % len(self.ids_list[ii])]
                 anns += [dict(a) for a in self.anno_dic_list[ii][image_id]]
-                layer_ids[n, slot] = self._row[image_id]
+                layer_ids[n, slot] = row_of[image_id]
                 keep[n, slot] = True
             bg_ids[n] = idx % len(self.bg_list)
 
@@ -553,7 +623,7 @@ class DeviceMPAugDataset(KDH3DMPAugDataset):
             packed.append((j2, j3, bb, pk.pose_weights, pk.valid))
 
         batch = prepare_batch_banked(
-            self.bank_depth, self.bank_seg, self.bank_bg,
+            bank_depth, bank_seg, bank_bg,
             jnp.asarray(layer_ids), jnp.asarray(keep), jnp.asarray(bg_ids),
             jnp.asarray(_pack_meta(params_list, packed)),
             2.0 * self.dcfg.depth.max, self.ecfg, self.dcfg,
