@@ -66,8 +66,17 @@ def _train_dataset(args, ecfg, dcfg):
             for f in os.listdir(args.data_root)
             if f.startswith(args.mp_label_prefix) and f.endswith(".json")
         )
-        cls = DeviceMPAugDataset if getattr(args, "device_bank", False) \
-            else KDH3DMPAugDataset
+        if getattr(args, "stream_bank", 0):
+            from popnet_tpu.data.streaming import StreamingDeviceMPAugDataset
+
+            cls = StreamingDeviceMPAugDataset
+            common.update(
+                shard_indices=args.stream_bank,
+                shard_repeats=getattr(args, "stream_repeats", 1),
+            )
+        else:
+            cls = DeviceMPAugDataset if getattr(args, "device_bank", False) \
+                else KDH3DMPAugDataset
         return cls(
             os.path.join(args.data_root, "depth_maps"), ann_files,
             bg_file=os.path.join(args.data_root, "labels_bg.json"),
@@ -85,6 +94,42 @@ def _train_dataset(args, ecfg, dcfg):
     )
 
 
+def _parse_mesh(spec: str):
+    """--mesh "data=4,model=2" -> (layout, Mesh). Axes: data (optional,
+    defaults to the remaining devices) plus at most one of model (tensor
+    parallel, parallel/tensor.py), spatial (parallel/spatial.py), or pipe
+    (GPipe, parallel/pipeline.py)."""
+    import jax
+
+    try:
+        sizes = {k: int(v) for k, v in (p.split("=") for p in spec.split(","))}
+    except ValueError:
+        raise SystemExit(f"bad --mesh spec {spec!r} (want e.g. data=4,model=2)")
+    n_data = sizes.pop("data", None)
+    if not sizes:
+        from popnet_tpu.parallel.mesh import make_mesh
+
+        return "dp", make_mesh(jax.devices()[:n_data] if n_data else None)
+    if len(sizes) > 1:
+        raise SystemExit("--mesh supports data plus ONE of model|spatial|pipe")
+    (axis, n), = sizes.items()
+    n_total = (n_data or max(1, len(jax.devices()) // n)) * n
+    devices = jax.devices()[:n_total]
+    if axis == "model":
+        from popnet_tpu.parallel.tensor import make_mesh_2d
+
+        return "tp", make_mesh_2d(n, devices)
+    if axis == "spatial":
+        from popnet_tpu.parallel.spatial import make_spatial_mesh
+
+        return "sp", make_spatial_mesh(n, devices)
+    if axis == "pipe":
+        from popnet_tpu.parallel.pipeline import make_pipe_mesh
+
+        return "pp", make_pipe_mesh(n, devices)
+    raise SystemExit(f"unknown mesh axis {axis!r} (model | spatial | pipe)")
+
+
 def cmd_train(args):
     import jax.numpy as jnp
 
@@ -93,6 +138,15 @@ def cmd_train(args):
     from popnet_tpu.train.steps import (
         make_popnet_train_step, make_rtpose_train_step, make_yolo_train_step,
     )
+
+    layout, mesh = ("dp", None)
+    if getattr(args, "mesh", None):
+        layout, mesh = _parse_mesh(args.mesh)
+    if layout == "pp":
+        if args.model != "openpose":
+            raise SystemExit("--mesh ...,pipe=N pipelines the CPM stage "
+                             "family; use --model openpose")
+        return _train_openpose_pipelined(args, mesh)
 
     if args.dataset == "coco":
         return _train_coco(args)
@@ -173,6 +227,7 @@ def cmd_train(args):
         weight_decay=args.weight_decay,
         out_dir=args.out_dir, seed=args.seed,
         optimizer=args.optimizer, scheduler=scheduler,
+        mesh=mesh, layout=layout,
     )
     if args.lr_patience is not None and args.schedule == "plateau":
         # patience beyond the epoch budget == constant lr (the plateau
@@ -183,6 +238,89 @@ def cmd_train(args):
         trainer.resume()
     trainer.fit(train_ds, val_ds, epochs=args.epochs, batch_size=args.batch_size,
                 checkpoint_every=args.ckpt_every, val_every=args.val_every)
+
+
+def _train_openpose_pipelined(args, mesh):
+    """GPipe-pipelined Open-Pose+ training from the CLI: stem data-parallel,
+    one CPM stage per "pipe" device (parallel/pipeline.py). The final
+    checkpoint is saved in the SEQUENTIAL RTPoseLight3D layout
+    (unstack_pipelined_variables), so `evaluate --ckpt <out>/ckpt` scores a
+    pipeline-trained model through the standard path."""
+    import jax
+    import jax.numpy as jnp
+
+    from popnet_tpu.models import RTPoseLight3D
+    from popnet_tpu.models.layers import ResPreprocessStem
+    from popnet_tpu.parallel import pipeline as pp
+    from popnet_tpu.train import checkpoint as ckpt
+    from popnet_tpu.train.state import create_train_state
+
+    dcfg = _dataset_cfg(args.dataset)
+    ecfg = EncoderConfig(input_x=args.input_size, input_y=args.input_size)
+    n_micro = getattr(args, "n_micro", None) or 2
+    n_data = mesh.shape["data"]
+    if args.batch_size % (n_data * n_micro):
+        raise SystemExit(
+            f"batch {args.batch_size} must divide data axis ({n_data}) x "
+            f"n_micro ({n_micro})"
+        )
+
+    model = RTPoseLight3D()
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.input_size, args.input_size, 1)), train=False,
+    )
+    state = pp.create_pipeline_train_state(
+        variables, learning_rate=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay,
+    )
+    state = pp.shard_pipeline_state(state, mesh)
+    step = pp.jit_pipeline_step(
+        pp.make_pipeline_train_step(
+            ResPreprocessStem(), pp.CPMStageUniform(), mesh, n_micro
+        ),
+        mesh, state,
+    )
+
+    train_ds = _train_dataset(args, ecfg, dcfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for epoch in range(args.epochs):
+        losses = []
+        for batch in train_ds.iter_batches(args.batch_size):
+            state, logs = step(state, batch)
+            losses.append(logs["loss"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        print(f"epoch {epoch} [pipelined x{mesh.shape['pipe']}] "
+              f"loss {train_loss:.4f}")
+        with open(os.path.join(args.out_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps({"epoch": epoch, "train_loss": train_loss}) + "\n")
+
+    # save in the sequential layout for the standard evaluate path
+    stem_np = jax.tree.map(lambda a: jax.device_get(a), state.params["stem"])
+    stages_np = jax.tree.map(lambda a: jax.device_get(a), state.params["stages"])
+    stem_bs = stages_bs = None
+    if state.batch_stats is not None:
+        stem_bs = jax.tree.map(jax.device_get, state.batch_stats["stem"])
+        stages_bs = jax.tree.map(jax.device_get, state.batch_stats["stages"])
+    seq_vars = pp.unstack_pipelined_variables(
+        {"params": {"stem": stem_np},
+         **({"batch_stats": {"stem": stem_bs}} if stem_bs is not None else {})},
+        {"params": stages_np,
+         **({"batch_stats": stages_bs} if stages_bs is not None else {})},
+    )
+    seq_state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, args.input_size, args.input_size, 1)),
+        learning_rate=args.lr,
+    )
+    seq_state = seq_state.replace(
+        params=seq_vars["params"],
+        batch_stats=seq_vars.get("batch_stats"),
+    )
+    ckpt.save_checkpoint(
+        os.path.join(args.out_dir, "ckpt"), seq_state, step=args.epochs - 1,
+        metadata={"pipelined": True, "n_pipe": int(mesh.shape["pipe"])},
+    )
 
 
 def _train_coco(args):
@@ -391,13 +529,40 @@ def cmd_evaluate(args):
         def apply_fn(images):
             return model.apply(variables, images, train=False)
 
+    def _maybe_spatial(infer):
+        """--spatial N: height-shard the CNN forward over a (data, spatial)
+        mesh; GSPMD inserts the conv halo exchanges (parallel/spatial.py)."""
+        n_sp = getattr(args, "spatial", 0)
+        if not n_sp:
+            return infer
+        from popnet_tpu.parallel.spatial import (
+            jit_forward_spatial, make_spatial_mesh,
+        )
+
+        if args.input_size % n_sp:
+            raise SystemExit(
+                f"--spatial {n_sp} must divide --input-size {args.input_size}"
+            )
+        mesh = make_spatial_mesh(n_sp)
+        sp_fn = jit_forward_spatial(infer, mesh)
+        n_data = mesh.shape["data"]
+
+        def wrapped(images):
+            # a ragged tail batch can't shard over the data axis; score it
+            # on the plain path (same values — sharding is layout only)
+            if images.shape[0] % n_data:
+                return infer(images)
+            return sp_fn(images)
+
+        return wrapped
+
     if args.model == "popnet":
         def infer(images):
             (heat, z, align, prior), _ = apply_fn(images)
             return heat, z, align, prior
 
         data = ev.run_popnet_eval(
-            infer, dataset, args.batch_size, ecfg, decfg,
+            _maybe_spatial(infer), dataset, args.batch_size, ecfg, decfg,
             readout=getattr(args, "readout", "universe"),
         )
     elif args.model == "openpose":
@@ -406,11 +571,16 @@ def cmd_evaluate(args):
             return paf, heat, z
 
         data = ev.run_openpose_eval(
-            infer, dataset, args.batch_size, ecfg, decfg,
+            _maybe_spatial(infer), dataset, args.batch_size, ecfg, decfg,
             device_decode=getattr(args, "device_decode", False),
         )
     else:
-        data = ev.run_yolo_eval(apply_fn, dataset, args.batch_size, ecfg, decfg)
+        def infer(images):
+            return apply_fn(images)
+
+        data = ev.run_yolo_eval(
+            _maybe_spatial(infer), dataset, args.batch_size, ecfg, decfg
+        )
 
     os.makedirs(args.out_dir, exist_ok=True)
     out_json = os.path.join(args.out_dir, f"{args.model}_results.json")
@@ -630,6 +800,20 @@ def build_parser():
     t.add_argument("--lr-patience", type=int, default=None,
                    help="ReduceLROnPlateau patience override (reference "
                         "default 5; set >= epochs for a constant lr)")
+    t.add_argument("--stream-bank", type=int, default=0, metavar="N",
+                   help="mp-aug only: chunk-streaming scene bank with N "
+                        "sample indices per HBM shard (data/streaming.py; "
+                        "double-buffered staging for banks past HBM)")
+    t.add_argument("--stream-repeats", type=int, default=1,
+                   help="--stream-bank: passes over each resident shard per "
+                        "epoch (windowed-shuffle repetition)")
+    t.add_argument("--mesh", default=None,
+                   help="device mesh layout, e.g. data=4 | data=4,model=2 "
+                        "(tensor parallel) | data=2,spatial=4 (height-"
+                        "sharded) | data=1,pipe=2 (GPipe CPM stages; "
+                        "--model openpose)")
+    t.add_argument("--n-micro", type=int, default=2,
+                   help="GPipe microbatches per device batch (--mesh pipe=N)")
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")
     t.add_argument("--mp-label-prefix", default="labels_loc")
@@ -654,6 +838,12 @@ def build_parser():
         "--readout", choices=["gated", "universe"], default="universe",
         help="PoP-Net alignment readout: heat-gated window refinement "
              "(default) or the reference's universe_align_map fusion",
+    )
+    e.add_argument(
+        "--spatial", type=int, default=0, metavar="N",
+        help="height-shard the CNN forward over a (data, spatial=N) mesh "
+             "(parallel/spatial.py GSPMD halo exchanges) — for Kinect-native "
+             "512x480 or larger inference past one chip's activation memory",
     )
     e.add_argument(
         "--device-decode", action="store_true",

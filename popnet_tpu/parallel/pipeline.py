@@ -137,6 +137,41 @@ def build_pipelined_variables(variables, num_stages: int = 2,
     return stem_vars, stacked
 
 
+def unstack_pipelined_variables(stem_vars, stacked, num_stages: int = 2,
+                                num_parts: int = 15, num_limbs: int = 14):
+    """Inverse of build_pipelined_variables: pipelined {stem, (S,)-stacked
+    stages} -> sequential RTPoseLight3D variables, so a pipeline-trained
+    checkpoint restores into the standard model for evaluation/serving.
+    Stage 1's widened first-conv kernels are cut back to the stem slice
+    (the dead [0:c_out] slice stays zero under training — gradients through
+    zero inputs are zero — so slicing it off is exact)."""
+    c_out = stage_channels(num_parts, num_limbs)
+
+    def cut_first_conv(branch_tree):
+        kern = branch_tree["ConvBN_0"]["Conv_0"]["kernel"]
+        if kern.shape[2] != c_out + 128:
+            return branch_tree
+        out = dict(branch_tree)
+        cb0 = dict(out["ConvBN_0"])
+        conv0 = dict(cb0["Conv_0"])
+        conv0["kernel"] = kern[:, :, c_out:, :]
+        cb0["Conv_0"] = conv0
+        out["ConvBN_0"] = cb0
+        return out
+
+    variables = {}
+    for coll in stacked:
+        tree = dict(stem_vars.get(coll, {}))
+        for i in range(1, num_stages + 1):
+            for branch in ("paf", "heat", "z"):
+                sub = jax.tree.map(lambda a, i=i: a[i - 1], stacked[coll][branch])
+                if i == 1 and coll == "params":
+                    sub = cut_first_conv(sub)
+                tree[f"stage{i}_{branch}"] = sub
+        variables[coll] = tree
+    return variables
+
+
 def create_pipeline_train_state(variables, num_stages: int = 2,
                                 num_parts: int = 15, num_limbs: int = 14,
                                 learning_rate: float = 0.05, **state_kw):

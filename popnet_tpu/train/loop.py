@@ -56,11 +56,11 @@ class Trainer:
         seed: int = 0,
         optimizer: str = "sgd",
         scheduler=None,
+        layout: str = "dp",
     ):
         import jax.numpy as jnp
 
         self.model = model
-        self.mesh = mesh or make_mesh()
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.print_freq = print_freq
@@ -72,7 +72,35 @@ class Trainer:
             optimizer=optimizer,
         )
         self._make_step = make_step
-        self.step_fn = jit_step_over_mesh(make_step, self.mesh)
+        # parallel layout: "dp" replicates params and shards the batch
+        # (reference DataParallel's mesh-native twin); "tp" channel-shards
+        # params + optimizer moments over a ("data", "model") mesh
+        # (parallel/tensor.py); "sp" height-shards the NHWC batch over a
+        # ("data", "spatial") mesh (parallel/spatial.py). All three run the
+        # SAME step function — the layout is pure sharding.
+        self.layout = layout
+        if layout == "dp":
+            self.mesh = mesh or make_mesh()
+            self.step_fn = jit_step_over_mesh(make_step, self.mesh)
+            self._shard = lambda b: shard_batch(b, self.mesh)
+        elif layout == "tp":
+            from popnet_tpu.parallel import tensor
+
+            self.mesh = mesh or tensor.make_mesh_2d()
+            self.state = tensor.shard_state(self.state, self.mesh)
+            self.step_fn = tensor.jit_step_tensor_parallel(
+                make_step, self.mesh, self.state
+            )
+            self._shard = lambda b: shard_batch(b, self.mesh)
+        elif layout == "sp":
+            from popnet_tpu.parallel import spatial
+
+            self.mesh = mesh or spatial.make_spatial_mesh()
+            self.state = spatial.replicate_state(self.state, self.mesh)
+            self.step_fn = spatial.jit_step_spatial(make_step, self.mesh)
+            self._shard = lambda b: spatial.shard_batch_spatial(b, self.mesh)
+        else:
+            raise ValueError(f"unknown layout {layout!r} (dp | tp | sp)")
         self.eval_loss_fn = jax.jit(make_eval_loss)
         # default: the reference CPM recipe's plateau controller; A2J passes
         # StepLR(10, 0.2) (reference: train_a2j_mpaug_new.py:444)
@@ -99,7 +127,7 @@ class Trainer:
         end = time.time()
         for i, batch in enumerate(dataset.iter_batches(batch_size)):
             data_time.update(time.time() - end)
-            batch = shard_batch(batch, self.mesh)
+            batch = self._shard(batch)
             self.state, logs = self.step_fn(self.state, batch)
             device_losses.append(logs["loss"])
             batch_time.update(time.time() - end)
@@ -115,14 +143,14 @@ class Trainer:
 
     def validate(self, dataset, batch_size: int):
         losses = AverageMeter()
-        n_dev = len(self.mesh.devices.ravel())
+        n_data = self.mesh.shape["data"]
         for batch in dataset.iter_batches(batch_size, shuffle=False, drop_last=False):
             first = batch.get("image", next(iter(batch.values())))
             n = int(np.asarray(first).shape[0])
             # a ragged tail batch can't shard over the mesh; score it on one
             # device via the plain jit
-            if n % n_dev == 0:
-                batch = shard_batch(batch, self.mesh)
+            if n % n_data == 0:
+                batch = self._shard(batch)
             loss = float(self.eval_loss_fn(self.state, batch))
             losses.update(loss, n)
         if losses.count == 0:
@@ -139,12 +167,18 @@ class Trainer:
         recipe runs 16-step epochs, where per-epoch orbax saves would cost
         more wall-clock than the steps); the final epoch always validates
         and checkpoints."""
-        n_dev = len(self.mesh.devices.ravel())
-        if batch_size % n_dev != 0:
+        n_data = self.mesh.shape["data"]
+        if batch_size % n_data != 0:
+            if self.layout != "dp":
+                raise ValueError(
+                    f"batch {batch_size} must divide the mesh's data axis "
+                    f"({n_data}) under layout {self.layout!r}"
+                )
             # shrink the data-parallel mesh to the largest divisor of batch
-            n = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+            n = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
             self.mesh = make_mesh(jax.devices()[:n])
             self.step_fn = jit_step_over_mesh(self._make_step, self.mesh)
+            self._shard = lambda b: shard_batch(b, self.mesh)
         for k in range(epochs):
             last = k == epochs - 1
             if self.profile_epoch is not None and self.epoch == self.profile_epoch:
