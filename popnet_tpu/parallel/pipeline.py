@@ -215,45 +215,37 @@ def make_pipe_mesh(n_pipe: int, devices=None, axis_names=("data", "pipe")):
     return Mesh(np.array(devices).reshape(n // n_pipe, n_pipe), axis_names)
 
 
-def pipeline_stages(mesh: Mesh, stage_vars, stem_out, n_micro: int,
-                    num_parts: int = 15, num_limbs: int = 14,
-                    dtype=jnp.float32):
-    """Run the stacked CPM stages as a GPipe pipeline over mesh axis "pipe".
+def _run_pipeline(mesh: Mesh, stage_vars, inject, n_micro: int, c_out: int,
+                  apply_stage):
+    """The GPipe schedule, generic over the stage program.
 
-    stem_out: (B, h, w, 128) stem activations (global batch order).
-    Returns saved_for_loss: [paf1, heat1, z1, ..., pafS, heatS, zS], each
-    (B, h, w, c) in global batch order — the exact rtpose_light3d_loss
-    contract (losses/losses.py:39).
+    inject: (B, h, w, c_in) FULL tick inputs ingested by pipe device 0 (the
+    uniform stage input layout — carried outputs followed by the pass-through
+    features). apply_stage(svars, x) -> tuple of output maps whose channel
+    concat is c_out wide. Returns (S, B, h, w, c_out) per-stage outputs in
+    global batch order.
     """
     n_pipe = mesh.shape["pipe"]
     n_data = mesh.shape["data"]
-    B, h, w, c_stem = stem_out.shape
+    B, h, w, c_in = inject.shape
     b_local = B // n_data
     if b_local % n_micro:
         raise ValueError(f"local batch {b_local} not divisible by {n_micro}")
     mb = b_local // n_micro
-    c_out = stage_channels(num_parts, num_limbs)
-    c_in = c_out + c_stem
-    stage = CPMStageUniform(num_parts=num_parts, num_limbs=num_limbs, dtype=dtype)
-    T = n_micro + n_pipe - 1
 
     def per_device(svars, x_loc):
         idx = jax.lax.axis_index("pipe")
         svars = jax.tree.map(lambda a: a[0], svars)
 
-        xm = x_loc.reshape(n_micro, mb, h, w, c_stem)
-        pad = jnp.zeros((n_pipe - 1, mb, h, w, c_stem), x_loc.dtype)
+        xm = x_loc.reshape(n_micro, mb, h, w, c_in)
+        pad = jnp.zeros((n_pipe - 1, mb, h, w, c_in), x_loc.dtype)
         xs = jnp.concatenate([xm, pad], 0)                     # (T, ...)
 
         def tick(cur, xt):
             # device 0 ingests microbatch t at the TOP of tick t; everyone
             # else processes the carry its upstream neighbor sent last tick
-            inject = jnp.concatenate(
-                [jnp.zeros((mb, h, w, c_out), xt.dtype), xt], -1
-            )
-            cur = jnp.where(idx == 0, inject, cur)
-            paf, heat, z = stage.apply(svars, cur, train=False)
-            y = jnp.concatenate([paf, heat, z], -1)            # (mb,h,w,c_out)
+            cur = jnp.where(idx == 0, xt, cur)
+            y = jnp.concatenate(apply_stage(svars, cur), -1)   # (mb,h,w,c_out)
             carry = jnp.concatenate([y, cur[..., c_out:]], -1)
             perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
             nxt = jax.lax.ppermute(carry, "pipe", perm)
@@ -273,21 +265,228 @@ def pipeline_stages(mesh: Mesh, stage_vars, stem_out, n_micro: int,
         mesh=mesh,
         in_specs=(P("pipe"), P("data")),
         out_specs=P("pipe", None, "data"),
-    )(stage_vars, stem_out)
+    )(stage_vars, inject)
     # (S, n_micro, n_data*mb, h, w, c_out): dim 2 is data-shard-major; the
     # global sample at (d, m, r) is batch index d*b_local + m*mb + r.
     S = out.shape[0]
     out = out.reshape(S, n_micro, n_data, mb, h, w, c_out)
-    out = out.transpose(0, 2, 1, 3, 4, 5, 6).reshape(S, B, h, w, c_out)
+    return out.transpose(0, 2, 1, 3, 4, 5, 6).reshape(S, B, h, w, c_out)
+
+
+def pipeline_stages(mesh: Mesh, stage_vars, stem_out, n_micro: int,
+                    num_parts: int = 15, num_limbs: int = 14,
+                    dtype=jnp.float32):
+    """Run the stacked CPM stages as a GPipe pipeline over mesh axis "pipe".
+
+    stem_out: (B, h, w, 128) stem activations (global batch order).
+    Returns saved_for_loss: [paf1, heat1, z1, ..., pafS, heatS, zS], each
+    (B, h, w, c) in global batch order — the exact rtpose_light3d_loss
+    contract (losses/losses.py:39).
+    """
+    B, h, w, _ = stem_out.shape
+    c_out = stage_channels(num_parts, num_limbs)
+    stage = CPMStageUniform(num_parts=num_parts, num_limbs=num_limbs, dtype=dtype)
+    # stage 1's tick input: zeros in the carried-output slice + the stem
+    inject = jnp.concatenate(
+        [jnp.zeros((B, h, w, c_out), stem_out.dtype), stem_out], -1
+    )
+    out = _run_pipeline(
+        mesh, stage_vars, inject, n_micro, c_out,
+        lambda sv, x: stage.apply(sv, x, train=False),
+    )
 
     saved = []
-    k1, l1 = num_parts + 1, num_limbs + 1
-    for s in range(S):
+    k1 = num_parts + 1
+    for s in range(out.shape[0]):
         paf = out[s, ..., : 2 * num_limbs]
         heat = out[s, ..., 2 * num_limbs : 2 * num_limbs + k1]
         z = out[s, ..., 2 * num_limbs + k1 :]
         saved += [paf, heat, z]
     return saved
+
+
+# ---------------------------------------------------------------------------
+# 6-stage rtpose_vgg pipeline — the textbook GPipe case (VERDICT r3 item 6).
+# The classic CPM stack (reference: lib/network/rtpose_vgg.py:59-250) runs
+# SIX stages; stages 2..6 are already a uniform program (five 7x7 convs +
+# 1x1 per branch, input = concat(paf 2L | heat K+1 | feat 128) = 185 ch), so
+# no zero-widening trick is needed: the front (trunk + the differently-
+# shaped stage 1) runs data-parallel, and stages 2..6 pipeline one per
+# "pipe" device. With P=5 pipe stages the bubble fraction
+# (P-1)/(n_micro+P-1) actually pays: 4/12 at n_micro=8 vs 1/9 for the
+# 2-stage depth family — deeper stacks amortize GPipe better.
+# ---------------------------------------------------------------------------
+
+
+class VGGStageUniform(nn.Module):
+    """One rtpose_vgg refinement stage (stage >= 2): PAF + heat branches,
+    five 7x7 convs + 1x1, relu, no BN — branch specs match
+    models/rtpose_vgg.py's stage>=2 exactly."""
+
+    num_parts: int = 18
+    num_limbs: int = 19
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = ((128, 7),) * 5 + ((128, 1),)
+        paf = CPMBranch(spec, 2 * self.num_limbs, 1, self.dtype,
+                        act="relu", norm=False, name="paf")(x, train)
+        heat = CPMBranch(spec, self.num_parts + 1, 1, self.dtype,
+                         act="relu", norm=False, name="heat")(x, train)
+        return paf, heat
+
+
+def vgg_stage_channels(num_parts: int = 18, num_limbs: int = 19) -> int:
+    return 2 * num_limbs + (num_parts + 1)
+
+
+def build_vgg_pipelined_variables(variables, num_stages: int = 6):
+    """Sequential RTPoseVGG variables -> (front_vars, stacked stage vars).
+
+    front = trunk + stage 1 (its 3x3 spec differs from the uniform 7x7
+    stages, so it runs with the trunk, data-parallel); stages 2..num_stages
+    stack on a leading (S-1,) axis for the pipe."""
+    front_keys = ("trunk", "stage1_paf", "stage1_heat")
+    front_vars = {
+        coll: {k: variables[coll][k] for k in front_keys if k in variables[coll]}
+        for coll in variables
+    }
+    stacked = {}
+    for coll in variables:
+        # stage branches are norm-free convs: only "params" has them (the
+        # mobilenet trunk's batch_stats live in front_vars)
+        if any(f"stage{i}_paf" not in variables[coll]
+               for i in range(2, num_stages + 1)):
+            continue
+        trees = [
+            {"paf": variables[coll][f"stage{i}_paf"],
+             "heat": variables[coll][f"stage{i}_heat"]}
+            for i in range(2, num_stages + 1)
+        ]
+        stacked[coll] = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *trees)
+    return front_vars, stacked
+
+
+def unstack_vgg_pipelined_variables(front_vars, stacked, num_stages: int = 6):
+    """Inverse of build_vgg_pipelined_variables -> sequential RTPoseVGG
+    variables (for evaluation/serving of a pipeline-trained model)."""
+    variables = {}
+    for coll in set(front_vars) | set(stacked):
+        tree = dict(front_vars.get(coll, {}))
+        if coll in stacked:
+            for i in range(2, num_stages + 1):
+                for branch in ("paf", "heat"):
+                    tree[f"stage{i}_{branch}"] = jax.tree.map(
+                        lambda a, i=i: a[i - 2], stacked[coll][branch]
+                    )
+        variables[coll] = tree
+    return variables
+
+
+def vgg_pipeline_stages(mesh: Mesh, stage_vars, paf1, heat1, feat,
+                        n_micro: int, num_parts: int = 18,
+                        num_limbs: int = 19, dtype=jnp.float32):
+    """Pipeline rtpose_vgg stages 2..S over mesh axis "pipe".
+
+    paf1/heat1: stage-1 outputs, feat: trunk features (all global batch
+    order). Returns saved_for_loss [paf1, heat1, paf2, heat2, ...] — the
+    rtpose_light_loss contract (losses/losses.py:84)."""
+    c_out = vgg_stage_channels(num_parts, num_limbs)
+    stage = VGGStageUniform(num_parts=num_parts, num_limbs=num_limbs,
+                            dtype=dtype)
+    inject = jnp.concatenate([paf1, heat1, feat], -1)
+    out = _run_pipeline(
+        mesh, stage_vars, inject, n_micro, c_out,
+        lambda sv, x: stage.apply(sv, x, train=False),
+    )
+    saved = [paf1, heat1]
+    for s in range(out.shape[0]):
+        saved += [out[s, ..., : 2 * num_limbs], out[s, ..., 2 * num_limbs :]]
+    return saved
+
+
+def create_vgg_pipeline_train_state(variables, num_stages: int = 6,
+                                    learning_rate: float = 1e-4, **state_kw):
+    """TrainState over the pipelined rtpose_vgg parameterization:
+    {"front": trunk + stage1 (replicated), "stages": (S-1,) stacks}."""
+    import optax
+
+    from popnet_tpu.train.state import TrainState, sgd_nesterov
+
+    front_vars, stacked = build_vgg_pipelined_variables(variables, num_stages)
+    params = {"front": front_vars["params"], "stages": stacked["params"]}
+    batch_stats = None
+    if "batch_stats" in variables and variables["batch_stats"]:
+        batch_stats = {
+            "front": front_vars.get("batch_stats", {}),
+            "stages": stacked.get("batch_stats", {}),
+        }
+    tx = state_kw.pop("tx", None)
+    if tx is None:
+        tx = optax.inject_hyperparams(
+            sgd_nesterov, static_args=("momentum", "weight_decay")
+        )(learning_rate=learning_rate, momentum=state_kw.pop("momentum", 0.9),
+          weight_decay=state_kw.pop("weight_decay", 0.0))
+    return TrainState.create(
+        apply_fn=None, params=params, tx=tx, batch_stats=batch_stats
+    )
+
+
+def make_vgg_pipeline_train_step(mesh: Mesh, n_micro: int,
+                                 num_parts: int = 18, num_limbs: int = 19,
+                                 num_stages: int = 6, trunk: str = "vgg19",
+                                 dtype=jnp.float32):
+    """Pipelined 6-stage rtpose_vgg train step over a ("data", "pipe")
+    mesh: front (trunk + stage 1) data-parallel, stages 2..S pipelined,
+    per-stage PAF+heat MSE (the COCO recipe, train/steps.py
+    make_rtpose_vgg_train_step). Same GPipe/BN caveats as
+    make_pipeline_train_step."""
+    from popnet_tpu.losses.losses import rtpose_light_loss
+    from popnet_tpu.models.layers import CPMBranch as _CPMBranch
+    from popnet_tpu.models.rtpose_vgg import MobileNetTrunk, VGG19Trunk
+
+    trunk_cls = {"vgg19": VGG19Trunk, "mobilenet": MobileNetTrunk}[trunk]
+    trunk_mod = trunk_cls(dtype=dtype)
+    spec1 = ((128, 3), (128, 3), (128, 3), (512, 1))
+    paf1_mod = _CPMBranch(spec1, 2 * num_limbs, 1, dtype, act="relu", norm=False)
+    heat1_mod = _CPMBranch(spec1, num_parts + 1, 1, dtype, act="relu", norm=False)
+
+    def _sub(coll_tree, key):
+        return {"params": coll_tree["params"][key],
+                **({"batch_stats": coll_tree["batch_stats"][key]}
+                   if coll_tree.get("batch_stats") and
+                   key in coll_tree["batch_stats"] else {})}
+
+    def step(state, batch):
+        def loss_fn(params):
+            tree = {"params": params["front"]}
+            if state.batch_stats is not None:
+                tree["batch_stats"] = state.batch_stats["front"]
+            feat = trunk_mod.apply(_sub(tree, "trunk"), batch["image"],
+                                   train=False)
+            paf1 = paf1_mod.apply(_sub(tree, "stage1_paf"), feat, train=False)
+            heat1 = heat1_mod.apply(_sub(tree, "stage1_heat"), feat, train=False)
+            svars = {"params": params["stages"]}
+            if state.batch_stats is not None and state.batch_stats["stages"]:
+                svars["batch_stats"] = state.batch_stats["stages"]
+            saved = vgg_pipeline_stages(
+                mesh, svars, paf1, heat1, feat, n_micro,
+                num_parts=num_parts, num_limbs=num_limbs, dtype=dtype,
+            )
+            loss, logs = rtpose_light_loss(
+                saved, batch["heat"], batch["paf"], num_stages
+            )
+            return loss, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        logs["loss"] = loss
+        return state, logs
+
+    return step
 
 
 def make_pipeline_train_step(stem_module, stage_def: CPMStageUniform,
