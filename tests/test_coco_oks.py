@@ -129,3 +129,119 @@ def test_distributed_module_single_process():
     assert distributed.per_process_batch_size(8) == 8 // max(
         1, __import__("jax").process_count()
     )
+
+
+# ---- canonical-protocol fixtures (VERDICT r3 item 8) ------------------------
+#
+# pycocotools is uninstallable in this environment, so these constants were
+# derived BY HAND from the canonical COCOeval('keypoints') algorithm
+# (pycocotools cocoeval.py: computeOks, evaluateImg greedy matching in
+# descending-score order with match iff OKS >= threshold, accumulate's
+# 101-point right-max precision interpolation over thresholds
+# 0.50:0.05:0.95, maxDets=20) — NOT by running either in-repo
+# implementation. Each case is small enough that the protocol output is
+# certain; the OKS precondition below is computed with the formula
+# transcribed verbatim from computeOks, independent of eval/coco_oks.py.
+# They pin BOTH in-repo implementations (the vendored scorer and the
+# clean-room cross-check) to the canonical tool's answers, so a shared
+# misreading of the protocol cannot pass.
+
+_CANON_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .89, .87, .89]) / 10.0
+
+
+def _canonical_oks(gt_kp, dt_kp, area):
+    """computeOks, transcribed from pycocotools cocoeval.py (all v>0)."""
+    g = np.asarray(gt_kp, np.float64).reshape(17, 3)
+    d = np.asarray(dt_kp, np.float64).reshape(17, 3)
+    var = (2.0 * _CANON_SIGMAS) ** 2
+    e = ((d[:, 0] - g[:, 0]) ** 2 + (d[:, 1] - g[:, 1]) ** 2) \
+        / var / (area + np.spacing(1)) / 2.0
+    return float(np.mean(np.exp(-e)))
+
+
+def _grid_person(cx, cy, w=80.0, h=120.0):
+    kp = np.zeros((17, 3))
+    kp[:, 0] = cx + np.linspace(-w / 2, w / 2, 17)
+    kp[:, 1] = cy + np.tile([-h / 2, 0.0, h / 2], 6)[:17]
+    kp[:, 2] = 2
+    return {
+        "keypoints": kp.ravel().tolist(),
+        "bbox": [cx - w / 2, cy - h / 2, w, h],
+        "area": float(w * h),
+        "num_keypoints": 17,
+    }
+
+
+def _shifted(gt, dx, score):
+    kp = np.asarray(gt["keypoints"]).reshape(17, 3).copy()
+    kp[:, 0] += dx
+    return {"keypoints": kp.ravel().tolist(), "score": score}
+
+
+def _both(gts, dts):
+    from tests.test_coco_oks_independent import cocoeval_keypoints
+
+    return oks_ap(gts, dts), cocoeval_keypoints(gts, dts)
+
+
+def _assert_fixture(gts, dts, want):
+    for name, got in zip(("vendored", "clean-room"), _both(gts, dts)):
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-9, (name, k, got[k], v)
+
+
+def test_canonical_fixture_exact_match():
+    """1 GT, 1 exact DT: OKS=1 matches at every threshold ->
+    AP = AP50 = AP75 = AR = 1."""
+    g = _grid_person(200, 200)
+    _assert_fixture([[g]], [[_shifted(g, 0.0, 0.9)]],
+                    {"AP": 1.0, "AP50": 1.0, "AP75": 1.0, "AR": 1.0})
+
+
+def test_canonical_fixture_threshold_straddle():
+    """1 GT, 1 DT at OKS ~= 0.625 (strictly inside (0.60, 0.65)): matched at
+    t in {.50,.55,.60} (AP_t = 1), unmatched FP at the other 7 (AP_t = 0).
+    mAP = 3/10, AP50 = 1, AP75 = 0, AR = 3/10."""
+    g = _grid_person(200, 200)
+    d = _shifted(g, 10.3, 0.9)
+    oks = _canonical_oks(g["keypoints"], d["keypoints"], g["area"])
+    assert 0.61 <= oks <= 0.64, oks  # safe margin from both thresholds
+    _assert_fixture([[g]], [[d]],
+                    {"AP": 0.3, "AP50": 1.0, "AP75": 0.0, "AR": 0.3})
+
+
+def test_canonical_fixture_ranked_partial():
+    """2 GTs; DT-A (score .9) exact on GT-1, DT-B (score .3) at OKS ~= 0.625
+    on GT-2. t <= .60: both TP in score order -> precision 1 at recall
+    .5 and 1.0 -> AP_t = 1. t > .60: only DT-A matches; the 101-point
+    right-max interpolation gives precision 1 for the 51 recall points
+    <= 0.5 and 0 above -> AP_t = 51/101. mAP = (3 + 7*51/101)/10,
+    AP75 = 51/101, AR = (3*1 + 7*0.5)/10."""
+    g1 = _grid_person(150, 200)
+    g2 = _grid_person(450, 200)
+    dA = _shifted(g1, 0.0, 0.9)
+    dB = _shifted(g2, 10.3, 0.3)
+    oks = _canonical_oks(g2["keypoints"], dB["keypoints"], g2["area"])
+    assert 0.61 <= oks <= 0.64, oks
+    ap_hi = 51.0 / 101.0
+    _assert_fixture(
+        [[g1, g2]], [[dA, dB]],
+        {"AP": (3.0 + 7.0 * ap_hi) / 10.0, "AP50": 1.0, "AP75": ap_hi,
+         "AR": (3.0 * 1.0 + 7.0 * 0.5) / 10.0},
+    )
+
+
+def test_canonical_fixture_empty_gt_image_fp():
+    """img1: 1 GT + exact DT (score .5); img2: NO GT + DT (score .9) — the
+    empty-GT-image case. Global rank: the img2 FP first, the TP second ->
+    cumulative precision [0, 1/2], right-max envelope [1/2, 1/2], recall
+    [0, 1] -> precision 1/2 at all 101 points, every threshold.
+    AP = AP50 = AP75 = 0.5, AR = 1."""
+    g = _grid_person(200, 200)
+    fp = _shifted(_grid_person(300, 300), 0.0, 0.9)
+    _assert_fixture(
+        [[g], []], [[_shifted(g, 0.0, 0.5)], [fp]],
+        {"AP": 0.5, "AP50": 0.5, "AP75": 0.5, "AR": 1.0},
+    )
