@@ -36,8 +36,11 @@ Conv->BatchNorm pairs into the conv weights before compiling — exact,
 ops/fold_bn.py; parity in tests/test_fold_bn.py).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "mfu",
-"gflops_per_frame"}. Baseline: the driver north-star of 2000 depth
-frames/sec/chip.
+"gflops_per_frame", "roofline_ms_per_frame"}. Baseline: the driver
+north-star of 2000 depth frames/sec/chip. roofline_ms_per_frame is the
+compiled program's deterministic cost-model lower bound (XLA flops/bytes
+vs chip peaks) — compare it across rounds to detect program regressions
+under the +-30% tunnel wall-clock noise.
 """
 
 import json
@@ -61,15 +64,18 @@ from popnet_tpu.serving import (
 BASELINE_FPS = 2000.0
 
 
-def _flops_per_call(pipeline, frames):
-    """XLA's own cost model for the compiled program (MFU numerator)."""
+def _cost_per_call(pipeline, frames):
+    """XLA's own cost model for the compiled program: (flops, bytes
+    accessed). Deterministic across runs — the basis of the noise-free
+    roofline figure emitted next to the wall-clock fps."""
     try:
         cost = pipeline.lower(frames).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        return (float(cost.get("flops", 0.0)) or None,
+                float(cost.get("bytes accessed", 0.0)) or None)
     except Exception:
-        return None
+        return None, None
 
 
 def main():
@@ -143,7 +149,7 @@ def main():
     if quant:
         metric += f"_{quant}"
 
-    flops = _flops_per_call(pipeline, frames)
+    flops, bytes_accessed = _cost_per_call(pipeline, frames)
 
     np.asarray(pipeline(frames))  # warmup / compile
     np.asarray(pipeline(frames))
@@ -175,6 +181,14 @@ def main():
     if flops:
         out["mfu"] = round(flops * iters / dt / peak, 4)
         out["gflops_per_frame"] = round(flops / batch / 1e9, 2)
+        # deterministic cost-model figure (VERDICT r3 item 9): the compiled
+        # program's roofline lower bound, immune to the +-30% tunnel noise —
+        # compare THIS across rounds to detect program regressions; the
+        # wall-clock fps above stays the headline
+        peak_bw = float(os.environ.get("BENCH_PEAK_GBPS", "819")) * 1e9
+        out["roofline_ms_per_frame"] = round(
+            max(flops / peak, (bytes_accessed or 0) / peak_bw) / batch * 1e3, 4
+        )
     print(json.dumps(out))
 
 
