@@ -17,7 +17,8 @@ H, W = 512, 480
 K = 15
 
 
-def person_scene(rng, center, z_base):
+def person_scene(rng, center, z_base, H=H, W=W, intr=KDH3D_INTRINSICS,
+                 scale=1.0, block=18):
     """Kinematic-template person: depth map, seg mask, joints.
 
     Joints follow a consistent articulated skeleton (head above neck,
@@ -26,9 +27,10 @@ def person_scene(rng, center, z_base):
     held-out PCK is bounded by chance and the synthetic-generalization
     benchmark (scripts/syngen.py) measures noise instead of learning.
     Keypoint order matches the benchmark skeleton
-    (datasets_kdh3d_mpreal.get_keypoints).
+    (datasets_kdh3d_mpreal.get_keypoints). H/W/intr/scale parameterize the
+    camera geometry (ITOP's 320x240 f=285.7 via build_itop).
     """
-    s = rng.uniform(0.85, 1.25)          # person scale
+    s = rng.uniform(0.85, 1.25) * scale  # person scale
     lean = rng.normal(0.0, 0.12)         # whole-body lean (radians)
 
     def rot(vx, vy, a):
@@ -55,34 +57,68 @@ def person_scene(rng, center, z_base):
         for i, p in ((sh_i, sh), (el_i, el), (wr_i, wr),
                      (hip_i, hip), (kn_i, kn), (an_i, an)):
             pts[i] = p
-    pts += rng.normal(0, 2.0, size=(K, 2))
-    pts = np.clip(pts, 10, [W - 10, H - 10])
+    pts += rng.normal(0, 2.0 * scale, size=(K, 2))
+    pts = np.clip(pts, 10 * scale, [W - 10 * scale, H - 10 * scale])
     z = z_base + rng.normal(0, 0.05, K)
     depth = np.zeros((H, W), np.float32)
     seg = np.zeros((H, W), np.float32)
     ys, xs = np.mgrid[0:H, 0:W]
+    blk = max(4, int(round(block * scale)))
     for k in range(K):
-        m = (np.abs(xs - pts[k, 0]) < 18) & (np.abs(ys - pts[k, 1]) < 18)
+        m = (np.abs(xs - pts[k, 0]) < blk) & (np.abs(ys - pts[k, 1]) < blk)
         depth[m] = z[k]
         seg[m] = 1.0
     j3 = np.stack(
         [
-            (pts[:, 0] - KDH3D_INTRINSICS.cx) / KDH3D_INTRINSICS.fx * z,
-            (pts[:, 1] - KDH3D_INTRINSICS.cy) / KDH3D_INTRINSICS.fy * z,
+            (pts[:, 0] - intr.cx) / intr.fx * z,
+            (pts[:, 1] - intr.cy) / intr.fy * z,
             z,
         ],
         1,
     )
+    margin = 20 * scale
     ann = {
         "2d_joints": pts.tolist(),
         "3d_joints": j3.tolist(),
         "bbox": [
-            float(pts[:, 0].min() - 20), float(pts[:, 1].min() - 20),
-            float(pts[:, 0].max() + 20), float(pts[:, 1].max() + 20),
+            float(pts[:, 0].min() - margin), float(pts[:, 1].min() - margin),
+            float(pts[:, 0].max() + margin), float(pts[:, 1].max() + margin),
         ],
         "pose_weight": float(rng.uniform(0.8, 1.5)),
     }
     return depth, seg, ann
+
+
+def build_itop(root, n_images=6, seed=0):
+    """Synthetic ITOP-geometry set: 320x240 single-person depth frames at
+    the ITOP camera (f = 1/0.0035, cx=160, cy=120, 5 m clip — reference:
+    datasets_itop.py:37-47), same kinematic person template. Drives the
+    ITOP A2J torso-crop recipe and the openpose-ITOP recipe end to end."""
+    from popnet_tpu.core.camera import ITOP_INTRINSICS
+
+    rng = np.random.default_rng(seed)
+    h, w = 240, 320
+    img_dir = os.path.join(root, "depth_maps")
+    os.makedirs(img_dir, exist_ok=True)
+    intr = {
+        "fx": ITOP_INTRINSICS.fx, "fy": ITOP_INTRINSICS.fy,
+        "cx": ITOP_INTRINSICS.cx, "cy": ITOP_INTRINSICS.cy,
+    }
+    labels = {"intrinsics": intr}
+    for i in range(n_images):
+        center = np.array([w / 2, h / 2]) + rng.uniform(-25, 25, 2)
+        depth, _, ann = person_scene(
+            rng, center, rng.uniform(1.8, 3.6), H=h, W=w,
+            intr=ITOP_INTRINSICS, scale=0.42, block=16,
+        )
+        # ITOP frames have clutter-free far background within the 5 m clip
+        depth[depth == 0] = 4.5
+        name = f"itop_{i:04d}.npy"
+        np.save(os.path.join(img_dir, name), depth)
+        labels[name] = [ann]
+    path = os.path.join(root, "labels.json")
+    json.dump(labels, open(path, "w"))
+    return {"img_dir": img_dir, "labels": path}
 
 
 def build(root, n_images=6, n_bg=2, n_locations=2, seed=0):
