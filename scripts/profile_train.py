@@ -138,8 +138,14 @@ def main():
                     materialize=lambda o: o[0])
         rows["fwd_bwd"] = (flops, bytes_, dt)
 
-        # the Trainer's actual donated program
-        st = trainer.state
+        # the Trainer's actual donated program. step_fn donates its state
+        # argument (train/steps.py donate_argnums), so run it on a deep COPY:
+        # donating trainer.state itself would delete the very buffers the
+        # fwd_* closures above capture (params/stats) and crash the next
+        # batch-size iteration with "Array has been deleted".
+        st = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x,
+            trainer.state)
         cost = trainer.step_fn.lower(st, batch).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -126,11 +126,15 @@ def main():
 
     def decode(f):
         prior = cnn(f)
-        return decode_prior_maps(
+        dets, valid = decode_prior_maps(
             prior.astype(jnp.float32), anchors, depth.mean, depth.std,
             num_joints=K, conf_threshold=DCFG.conf_threshold,
             nms_threshold=DCFG.nms_threshold, max_det=DCFG.max_people,
         )
+        # serve_stream materializes each yield with one np.asarray, so the
+        # stage must emit a single array: fold valid in as a trailing column
+        # (same device program, one extra (B, M) f32 on the wire)
+        return jnp.concatenate([dets, valid[..., None].astype(dets.dtype)], -1)
 
     profile("+prior_decode_nms", decode, frames)
 

@@ -61,6 +61,7 @@ def _boost_signal(net, xt, getter, floor=3e-2, max_rounds=12):
 
 def test_rtpose_light3d_activation_parity():
     ref_mod = load_cr_module("ti_rt3d", "third_party_methods/lib/network/rtpose_light3d.py")
+    torch.manual_seed(0)  # determinism: unseeded nets made parity flaky (VERDICT r4 item 8)
     net = ref_mod.rtpose_light3d(15, 14, 2, input_dim=1)
     _randomize_bn_stats(net, 0)
     net.eval()
@@ -84,6 +85,7 @@ def test_rtpose_light3d_activation_parity():
 
 def test_rtpose_align3d_activation_parity():
     ref_mod = load_cr_module("ti_al3d", "third_party_methods/lib/network/rtpose_align3d.py")
+    torch.manual_seed(1)
     net = ref_mod.rtpose_align3d(15, 14, 2, input_dim=1)
     _randomize_bn_stats(net, 1)
     net.eval()
@@ -104,6 +106,7 @@ def test_rtpose_align3d_activation_parity():
 
 def test_yolo_posenet_activation_parity():
     ref_mod = load_cr_module("ti_yolo", "third_party_methods/lib/network/yolo_posenet.py")
+    torch.manual_seed(2)
     net = ref_mod.YoloPoseNet(15, input_dim=1)
     _randomize_bn_stats(net, 2)
     net.eval()
@@ -133,6 +136,7 @@ def test_a2j_activation_parity():
     ref_resnet.model_zoo.load_url = (
         lambda url, **kw: ref_resnet.resnet50(pretrained=False).state_dict()
     )
+    torch.manual_seed(3)
     net = ref_model_mod.A2J_model(num_classes=15)
     _randomize_bn_stats(net, 3)
     net.eval()
