@@ -39,7 +39,9 @@ def _build_model(name, dtype=None):
     if name == "yolo":
         return YoloPoseNet(dtype=dtype)
     if name == "a2j":
-        return A2J(dtype=dtype)
+        # depth head starts at the dataset depth prior (3.0 m for both
+        # KDH3D and ITOP) — see models/a2j.py A2J.depth_prior
+        return A2J(dtype=dtype, depth_prior=3.0)
     if name == "rtpose_vgg":
         raise ValueError("rtpose_vgg trains with --dataset coco")
     if name == "popnet_rgb":

@@ -231,6 +231,137 @@ def use_vgg(variables, vgg19_state_dict):
     return out
 
 
+def align_variables(template_variables, variables):
+    """Re-nest `variables` in `template_variables`' key order.
+
+    import/export_state_dict pair units by CREATION order (the first-trace
+    dict insertion order of model.init). Orbax restores and npz round trips
+    hand back alphabetically-sorted trees, which silently breaks that
+    contract — align against a fresh init before exporting such a tree."""
+    from flax import traverse_util
+
+    out = {}
+    for col in template_variables:
+        t = traverse_util.flatten_dict(template_variables[col])
+        v = traverse_util.flatten_dict(variables[col])
+        if set(t) != set(v):
+            missing = set(t) ^ set(v)
+            raise ValueError(f"variable tree mismatch in '{col}': {missing}")
+        for k in t:
+            if tuple(t[k].shape) != tuple(v[k].shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(k)}: template "
+                    f"{tuple(t[k].shape)} vs loaded {tuple(v[k].shape)}")
+        out[col] = traverse_util.unflatten_dict({k: v[k] for k in t})
+    return out
+
+
+def export_state_dict(variables, template_state_dict, skip_prefixes=(),
+                      reorder_prefixes=None):
+    """Inverse of import_state_dict: flax variables -> a torch-loadable
+    state_dict, keyed and ordered like `template_state_dict` (a fresh
+    reference net's state_dict provides the key names and the
+    num_batches_tracked counters, which flax has no equivalent for).
+
+    This is the take-your-weights-home direction: a model trained with this
+    framework loads straight into the reference's torch nets (and from
+    there its .pth tooling). Keys under `skip_prefixes` — the reference's
+    dead branches (e.g. YoloPoseNet's unused resnet34 layer3,
+    yolo_posenet.py:26-56) — keep the template's values. Same unit pairing
+    and strict shape checks as the import; round-trip is pinned by
+    tests/test_torch_export.py.
+    """
+    template_state_dict = strip_module_prefix(template_state_dict)
+    tunits = _torch_units(template_state_dict, skip_prefixes)
+    if reorder_prefixes:
+        buckets = [[] for _ in reorder_prefixes]
+        for u in tunits:
+            for bi, p in enumerate(reorder_prefixes):
+                if u[1].startswith(p):
+                    buckets[bi].append(u)
+                    break
+            else:
+                raise ValueError(f"torch unit {u[1]} matches no reorder prefix")
+        tunits = [u for b in buckets for u in b]
+    funits, params, stats = _flax_units(variables)
+    if len(tunits) != len(funits):
+        raise ValueError(
+            f"unit count mismatch: torch {len(tunits)} vs flax {len(funits)}"
+        )
+
+    out = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in template_state_dict.items()
+    }
+    for (tk, tname, tg), (fk, fname, fg, fstats) in zip(tunits, funits):
+        where = f"{'/'.join(fname)} -> {tname}"
+        if tk != fk:
+            raise ValueError(f"unit kind mismatch at {where}: {tk} vs {fk}")
+        if tk == "conv":
+            _emit(out, f"{tname}.weight",
+                  np.asarray(params[fg["kernel"]]).transpose(3, 2, 0, 1), where)
+            _maybe_emit_bias(out, tname, fg, tg, params, where)
+        elif tk == "linear":
+            _emit(out, f"{tname}.weight",
+                  np.asarray(params[fg["kernel"]]).T, where)
+            _maybe_emit_bias(out, tname, fg, tg, params, where)
+        else:  # bn
+            _emit(out, f"{tname}.weight", np.asarray(params[fg["scale"]]), where)
+            _emit(out, f"{tname}.bias", np.asarray(params[fg["bias"]]), where)
+            _emit(out, f"{tname}.running_mean",
+                  np.asarray(stats[fstats["mean"]]), where)
+            _emit(out, f"{tname}.running_var",
+                  np.asarray(stats[fstats["var"]]), where)
+    return out
+
+
+def _emit(out, key, value, where):
+    if key not in out:
+        raise ValueError(f"export target key missing at {where}: {key}")
+    if tuple(out[key].shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {where}: torch {tuple(out[key].shape)} "
+            f"vs flax {tuple(value.shape)}"
+        )
+    out[key] = np.asarray(value, dtype=out[key].dtype)
+
+
+def _maybe_emit_bias(out, tname, fg, tg, params, where):
+    has_f = "bias" in fg
+    has_t = "bias" in tg
+    if has_f != has_t:
+        raise ValueError(f"bias presence mismatch at {where}: "
+                         f"flax={has_f} torch={has_t}")
+    if has_f:
+        _emit(out, f"{tname}.bias", np.asarray(params[fg["bias"]]), where)
+
+
+def export_rtpose_light3d(variables, template_state_dict):
+    """rtpose_light3d / rtpose_light / rtpose_align3d: registration order
+    equals creation order — the generic walker applies directly."""
+    return export_state_dict(variables, template_state_dict)
+
+
+export_rtpose_light = export_rtpose_light3d
+export_rtpose_align3d = export_rtpose_light3d
+
+
+def export_yolo_posenet(variables, template_state_dict):
+    """The reference's dead resnet34 layer3 keeps the template's values."""
+    return export_state_dict(variables, template_state_dict,
+                             skip_prefixes=("model0.layer3.",))
+
+
+def export_a2j(variables, template_state_dict):
+    """Mirror of import_a2j's reordering and dead-fc skip."""
+    return export_state_dict(
+        variables, template_state_dict,
+        skip_prefixes=("Backbone.model.fc.",),
+        reorder_prefixes=("Backbone.", "classificationModel.",
+                          "regressionModel.", "DepthRegressionModel."),
+    )
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference .pth checkpoint into a plain numpy state_dict."""
     import torch

@@ -136,7 +136,7 @@ def main():
     )
 
     if "a2j" in methods:
-        model = A2J()
+        model = A2J(depth_prior=ITOP_DATASET.depth.mean)
         anchors = jnp.asarray(
             shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
             jnp.float32,

@@ -202,12 +202,15 @@ def main():
                 "metrics": m,
             }
             rec["curve"].append(point)
-            rec["final"] = m
+            # in-progress chunks publish only "latest": a consumer reading
+            # "final" must never see a half-trained score (ADVICE r4)
+            rec["latest"] = m
             rec["steps"] = point["step"]
             save()
             print(f"[table] {name} epoch {trainer.epoch} "
                   f"({point['step']} steps, {point['wall_s']}s): {m}",
                   flush=True)
+        rec["final"] = rec.pop("latest")
         rec["done"] = True
         save()
 
@@ -322,7 +325,11 @@ def main():
 
         yolo_v = variables_from_npz(yolo_weights)
 
-        a2j_model = A2J()
+        # depth head initialized at the dataset depth prior: without it the
+        # softmax vote starts at z=0 and spends ~8.6k Adam steps (lr 3.5e-4)
+        # walking ~3 m of absolute depth before learning structure — the
+        # r4 row's near-zero-3D root cause (models/a2j.py A2J.depth_prior)
+        a2j_model = A2J(depth_prior=KDH3D_DATASET.depth.mean)
         all_anchors = jnp.asarray(
             shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
             jnp.float32,

@@ -40,7 +40,10 @@ def test_budget_provenance(table):
 def test_metric_sanity_and_curves(table):
     assert table["methods"], "empty table"
     for name, rec in table["methods"].items():
-        final = rec["final"]
+        # in-progress rows carry "latest"; only completed rows carry "final"
+        # (a consumer reading "final" must never see a half-trained score)
+        assert ("final" in rec) == bool(rec.get("done", name == "popnet")), name
+        final = rec.get("final") or rec["latest"]
         for k in METRICS:
             assert 0.0 <= final[k] <= 1.0, (name, k, final[k])
         steps = [p["step"] for p in rec.get("curve", [])]

@@ -83,6 +83,33 @@ def test_a2j_shapes():
     assert dep.shape == (2, n, 15)
 
 
+def test_a2j_depth_prior_init():
+    """A2J(depth_prior=m): the softmax anchor vote predicts ~m at init, so
+    the z L1 term starts near zero instead of |m| (the r4 yolo_a2j row's
+    near-zero-3D root cause — the reference's zero-bias init makes the vote
+    start at z=0, ~3 m of dead ramp on KDH3D). BN-normalized features keep
+    the head's conv output small but not exactly zero; the bias dominates."""
+    import jax
+
+    for prior in (0.0, 3.0):
+        model = A2J(num_joints=15, depth_prior=prior)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 1), jnp.float32), train=False)
+        np.testing.assert_allclose(
+            np.asarray(v["params"]["depth"]["Conv_4"]["bias"]), prior)
+        # train mode: BN batch statistics active, as in the first optimizer
+        # steps the init is there to help (eval-mode fresh BN running stats
+        # are 0/1 and let deep-ResNet activations blow up at init)
+        (cls, _, dep), _ = model.apply(
+            v, jnp.asarray(np.random.default_rng(0).normal(
+                size=(2, 64, 64, 1)).astype(np.float32)),
+            train=True, mutable=["batch_stats"],
+        )
+        w = jax.nn.softmax(cls, axis=1)
+        vote = np.asarray(jnp.sum(w * dep, axis=1))
+        np.testing.assert_allclose(vote, prior, atol=0.3)
+
+
 @pytest.mark.reference
 @pytest.mark.parametrize(
     "name", ["rtpose_light3d", "rtpose_light", "rtpose_align3d", "yolo_posenet"]
