@@ -727,7 +727,9 @@ def cmd_generate_augset(args):
             seg_dir=os.path.join(args.data_root, "seg_maps"),
             ecfg=ecfg, is_train=False, augment=False, seed=args.seed,
         )
-        construction.generate_bgaug_set(ds, args.out_dir, args.n_images)
+        construction.generate_bgaug_set(ds, args.out_dir, args.n_images,
+                                        device=args.device,
+                                        augment=args.augment)
     else:
         ann_files = sorted(
             os.path.join(args.data_root, f)
@@ -741,7 +743,9 @@ def cmd_generate_augset(args):
             seg_dir=os.path.join(args.data_root, "seg_maps"),
             ecfg=ecfg, is_train=False, augment=False, seed=args.seed,
         )
-        construction.generate_mpaug_set(ds, args.out_dir, args.n_images)
+        construction.generate_mpaug_set(ds, args.out_dir, args.n_images,
+                                        device=args.device,
+                                        augment=args.augment)
     print(f"frozen {args.kind} set written to {args.out_dir}")
 
 
@@ -887,6 +891,11 @@ def build_parser():
     g.add_argument("--kind", choices=["bgaug", "mpaug"], required=True)
     g.add_argument("--n-images", type=int, default=None)
     g.add_argument("--mp-label-prefix", default="labels_loc")
+    g.add_argument("--device", action="store_true",
+                   help="composite on the accelerator (byte-identical sets)")
+    g.add_argument("--augment", action="store_true",
+                   help="freeze-time Rotate/RenderDepth/Resize like the "
+                        "reference generator (exact host path)")
     g.set_defaults(fn=cmd_generate_augset)
     return p
 

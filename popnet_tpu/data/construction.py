@@ -106,14 +106,42 @@ def convert_itop_h5(depth_h5_path: str, labels_h5_path: str, out_dir: str,
     return labels
 
 
+def freeze_augment_pipeline(dcfg, rng, max_ratio: float = 1.2):
+    """The reference generator's freeze-time geometric preprocess
+    (generate_kdh3d_mpaug_set.py:99-104): Rotate about the principal point,
+    RenderDepth dolly up to max_ratio, Resize back to the original
+    resolution — the exact host path (data/augment_host.py).
+
+    Departure, documented: the reference constructs Rotate without is_3d,
+    so its frozen sets carry 3D labels that were never rotated with the
+    image/2D labels; we pass is_3d=True to keep the 2D<->3D pinhole
+    relation intact (the property our eval ablations rely on)."""
+    from popnet_tpu.data import augment_host as ah
+
+    intr = dcfg.intrinsics
+    return ah.Compose([
+        ah.Cvt2ndarray(),
+        ah.Rotate(cx=intr.cx, cy=intr.cy, is_3d=True, rng=rng),
+        ah.RenderDepth(cx=intr.cx, cy=intr.cy, max_ratio=max_ratio, rng=rng),
+        ah.Resize(dcfg.width, dcfg.height),
+    ])
+
+
 def _freeze(dataset, out_dir: str, n_images: int | None = None,
-            label_name: str = "labels_test.json"):
+            label_name: str = "labels_test.json", device: bool = False,
+            augment: bool = False):
     depth_dir = os.path.join(out_dir, "depth_maps")
     os.makedirs(depth_dir, exist_ok=True)
     labels = {}
     n = n_images or len(dataset)
+    composite = (dataset.load_composited_device if device
+                 else dataset.load_composited)
+    pipeline = (freeze_augment_pipeline(dataset.dcfg, dataset.rng)
+                if augment else None)
     for i in range(n):
-        depth, anns = dataset.load_composited(i % len(dataset))
+        depth, anns = composite(i % len(dataset))
+        if pipeline is not None:
+            depth, anns = pipeline((depth, anns))
         depth = np.clip(depth, 0.0, dataset.dcfg.depth.max)
         name = f"{i:08d}.npy"
         np.save(os.path.join(depth_dir, name), depth.astype(np.float32))
@@ -130,18 +158,24 @@ def _freeze(dataset, out_dir: str, n_images: int | None = None,
     return labels
 
 
-def generate_bgaug_set(dataset, out_dir: str, n_images: int | None = None):
+def generate_bgaug_set(dataset, out_dir: str, n_images: int | None = None,
+                       device: bool = False, augment: bool = False):
     """Freeze the stochastic bg-aug pipeline into a static test set
     (reference: generate_kdh3d_bgaug_set.py:84-174). `dataset` is a
-    KDH3DDataset(bg_aug=True, is_train=False)."""
-    return _freeze(dataset, out_dir, n_images)
+    KDH3DDataset(bg_aug=True, is_train=False). device=True composites on
+    the accelerator (byte-identical for {0,1} masks —
+    tests/test_construction_viz.py pins set equality both ways).
+    augment=True adds the reference's freeze-time Rotate/RenderDepth/Resize
+    (exact host path, see freeze_augment_pipeline)."""
+    return _freeze(dataset, out_dir, n_images, device=device, augment=augment)
 
 
-def generate_mpaug_set(dataset, out_dir: str, n_images: int | None = None):
+def generate_mpaug_set(dataset, out_dir: str, n_images: int | None = None,
+                       device: bool = False, augment: bool = False):
     """Freeze the stochastic mp-aug compositing into a static test set
     (reference: generate_kdh3d_mpaug_set.py:84-169). `dataset` is a
-    KDH3DMPAugDataset."""
-    return _freeze(dataset, out_dir, n_images)
+    KDH3DMPAugDataset. device/augment as in generate_bgaug_set."""
+    return _freeze(dataset, out_dir, n_images, device=device, augment=augment)
 
 
 # Kinect raw joint names used by the KDH3D recordings

@@ -455,6 +455,26 @@ class KDH3DDataset(_BaseDataset):
             depth = depth * fg + bg * (1.0 - fg)
         return depth, list(self.anno_dic[image_id])
 
+    def load_composited_device(self, index):
+        """bg composite on device (compositing.bg_composite): byte-identical
+        to load_composited for the benchmark's {0,1} segmentation masks, so
+        frozen bgaug sets regenerate identically through either backend."""
+        image_id = self.ids[index]
+        depth = self._load_npy(os.path.join(self.img_dir, image_id))
+        if self.bg_aug:
+            bg_id = index % len(self.bg_list)
+            bg = self._load_npy(
+                os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
+            )
+            fg = self._load_npy(os.path.join(self.seg_dir, image_id))
+            depth = np.asarray(
+                bg_composite(jnp.asarray(depth, jnp.float32),
+                             jnp.asarray(fg, jnp.float32),
+                             jnp.asarray(bg, jnp.float32)),
+                np.float32,
+            )
+        return depth, list(self.anno_dic[image_id])
+
 
 class KDH3DMPAugDataset(_BaseDataset):
     """Synthetic multi-person frames: z-buffer composite of per-location
@@ -482,9 +502,10 @@ class KDH3DMPAugDataset(_BaseDataset):
     def __len__(self):
         return self._len
 
-    def load_composited(self, index):
-        h, w = self.dcfg.height, self.dcfg.width
-        far = 2.0 * self.dcfg.depth.max
+    def _select_layers(self, index):
+        """Draw this sample's person layers + background — the ONE place the
+        mp-aug rng is consumed, shared by the host and device composite paths
+        so both see identical draws (reference: datasets_kdh3d_mpaug.py:245-296)."""
         layers, masks, anns = [], [], []
         mod = AUG_MODS[int(self.rng.integers(0, len(AUG_MODS)))]
         for ii in mod:
@@ -500,6 +521,11 @@ class KDH3DMPAugDataset(_BaseDataset):
         bg = self._load_npy(
             os.path.join(self.bg_dir, self.bg_list[bg_id]["file_name"])
         )
+        return layers, masks, anns, bg
+
+    def load_composited(self, index):
+        far = 2.0 * self.dcfg.depth.max
+        layers, masks, anns, bg = self._select_layers(index)
         # host z-buffer composite (single sample; the batched device op is
         # data/compositing.py mp_composite)
         stack = np.stack(layers)
@@ -509,6 +535,21 @@ class KDH3DMPAugDataset(_BaseDataset):
         fg_union = mstack.max(axis=0)
         image = zmin * fg_union + bg * (1.0 - fg_union)
         return image.astype(np.float32), anns
+
+    def load_composited_device(self, index):
+        """load_composited with the pixel work on device (compositing.
+        mp_composite) — same rng draws, byte-identical output for the {0,1}
+        masks the benchmark ships (every term is then an exact f32 op on
+        both backends), so device-regenerated frozen sets match
+        host-generated ones (tests/test_construction_viz.py)."""
+        far = 2.0 * self.dcfg.depth.max
+        layers, masks, anns, bg = self._select_layers(index)
+        image, _ = mp_composite(
+            jnp.asarray(np.stack(layers), jnp.float32),
+            jnp.asarray(np.stack(masks), jnp.float32),
+            jnp.ones(len(layers), bool), jnp.asarray(bg, jnp.float32), far,
+        )
+        return np.asarray(image, np.float32), anns
 
     def _add_layer(self, ii, index, layers, masks, anns):
         image_id = self.ids_list[ii][index % len(self.ids_list[ii])]
