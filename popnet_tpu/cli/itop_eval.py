@@ -59,12 +59,19 @@ def _gt_uvz(dataset) -> np.ndarray:
 
 def run_itop_a2j_eval(infer_a2j, dataset, batch_size: int = 16,
                       xy_thres: float = 120.0, depth_thres: float = 0.4,
-                      center_joint: int = 8) -> dict:
+                      center_joint: int = 8,
+                      mean: float | None = None,
+                      std: float | None = None) -> dict:
     """A2J over torso-box crops -> 10-cm accuracy.
 
     `dataset` is a KDH3DDataset-style single-person set with ITOP_DATASET
     geometry; `infer_a2j(crops)` returns (cls, reg, depth) heads. The crop
-    geometry matches ITOPA2JCropDataset (no augmentation: rand_shift=0)."""
+    geometry matches ITOPA2JCropDataset (no augmentation: rand_shift=0).
+    `mean`/`std` normalize the torso-RELATIVE crop values and must be the
+    measured relative stats the net was trained with
+    (data.itop_a2j.itop_relative_stats — the reference's
+    itop_side_mean/std.npy, itop_train_64.py:85-86); they default to the
+    dataset's absolute stats only for backward compatibility."""
     from popnet_tpu.core.camera import ITOP_INTRINSICS
     from popnet_tpu.data.a2j_crops import CROP
     from popnet_tpu.data.itop_a2j import (
@@ -74,7 +81,8 @@ def run_itop_a2j_eval(infer_a2j, dataset, batch_size: int = 16,
     from popnet_tpu.models.a2j import generate_anchors, shift_anchors
 
     cam = dataset.intrinsics or ITOP_INTRINSICS
-    depth_stats = dataset.dcfg.depth
+    mean = dataset.dcfg.depth.mean if mean is None else float(mean)
+    std = dataset.dcfg.depth.std if std is None else float(std)
     gt = _gt_uvz(dataset)
     anchors = jnp.asarray(
         shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
@@ -96,7 +104,7 @@ def run_itop_a2j_eval(infer_a2j, dataset, batch_size: int = 16,
         cz = centers[:, 2].astype(np.float32)
         crops = itop_crop_batch(
             jnp.asarray(imgs), jnp.arange(len(imgs)), jnp.asarray(boxes),
-            jnp.asarray(cz), mean=depth_stats.mean, std=depth_stats.std,
+            jnp.asarray(cz), mean=mean, std=std,
             depth_thres=depth_thres,
         )
         heads = infer_a2j(crops)

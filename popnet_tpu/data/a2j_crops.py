@@ -135,8 +135,16 @@ def random_erasing(
     max_patches: int = 1,
 ):
     """Noise-patch erasing on depth crops (reference:
-    A2J_experiments/random_erasing.py:11-55): with probability p, replace a
-    random-area, random-aspect rectangle with Gaussian noise."""
+    A2J_experiments/random_erasing.py:30-55): with probability p, ADD unit
+    Gaussian noise over a random-area, random-aspect rectangle. The
+    reference's `img[...] += rand_patch` is additive — it perturbs the
+    patch around the data, it does not replace it. Replacing was a round-4
+    divergence that broke ITOP training: torso-relative crops concentrate
+    in a narrow band, and replacement N(0,1) patches dominated the
+    BatchNorm batch statistics, so the running averages tracked an
+    erasing-skewed distribution and eval-mode accuracy collapsed while
+    batch-stats-mode accuracy kept improving (diagnosed r5; the fix
+    restores the reference's additive semantics)."""
     N, S = crops.shape[0], crops.shape[1]
     keys = jax.random.split(rng_key, 6)
     do = jax.random.uniform(keys[0], (N,)) < probability
@@ -155,7 +163,7 @@ def random_erasing(
         & (xs >= x0[:, None, None]) & (xs < (x0 + pw)[:, None, None])
         & do[:, None, None]
     )
-    return jnp.where(inpatch[..., None], noise, crops)
+    return crops + jnp.where(inpatch[..., None], noise, 0.0)
 
 
 class A2JCropDataset:
@@ -240,7 +248,8 @@ class ITOPA2JCropDataset:
     def __init__(self, inner, xy_thres: float = 120.0, depth_thres: float = 0.4,
                  rand_shift: int = 5, center_joint: int = 8,
                  augment: bool = True, erase: bool = True,
-                 out_size: int = CROP, seed: int = 0):
+                 out_size: int = CROP, seed: int = 0,
+                 mean: float | None = None, std: float | None = None):
         from popnet_tpu.core.camera import ITOP_INTRINSICS
         from popnet_tpu.data.itop_a2j import (
             boxes_from_centers, itop_crop_batch, itop_crop_labels,
@@ -258,7 +267,12 @@ class ITOPA2JCropDataset:
         self.rand_shift = rand_shift
         self.center_joint = center_joint
         self.cam = inner.intrinsics or ITOP_INTRINSICS
-        self.depth = inner.dcfg.depth
+        # the crop values are torso-RELATIVE depth; normalize them with the
+        # measured relative stats (itop_a2j.itop_relative_stats — the
+        # reference's itop_side_mean/std.npy, itop_train_64.py:85-86, :260),
+        # not the dataset's absolute stats
+        self.mean = inner.dcfg.depth.mean if mean is None else float(mean)
+        self.std = inner.dcfg.depth.std if std is None else float(std)
         self._boxes_from_centers = boxes_from_centers
         self._crop = itop_crop_batch
         self._labels = itop_crop_labels
@@ -286,7 +300,7 @@ class ITOPA2JCropDataset:
         crops = self._crop(
             jnp.asarray(np.stack(imgs)), jnp.arange(len(imgs)),
             jnp.asarray(boxes), jnp.asarray(cz),
-            mean=self.depth.mean, std=self.depth.std,
+            mean=self.mean, std=self.std,
             depth_thres=self.depth_thres, out_size=self.out_size,
         )
         if self.augment and self.erase:

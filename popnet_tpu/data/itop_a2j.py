@@ -93,6 +93,52 @@ def itop_crop_batch(
     return jax.vmap(one)(image_idx, boxes, center_z)[..., None]
 
 
+def itop_relative_stats(
+    dataset,
+    xy_thres: float = 120.0,
+    depth_thres: float = 0.4,
+    center_joint: int = 8,
+    batch_size: int = 32,
+    out_size: int = CROP,
+):
+    """Measured (mean, std) of the torso-relative clamped crop distribution.
+
+    The reference precomputes exactly this per dataset
+    (itop_train_64.py:85-86 loads itop_side_mean/std.npy) and normalizes
+    crops with it (:260 `(imgResize - mean[-1]) / std[-1]`) — the crop
+    values are RELATIVE depth in [-depth_thres, depth_thres], so absolute
+    depth stats (3.0 / 2.0) are the wrong scale by ~5x and park every crop
+    at -1.5 with ~0.1 variance. `dataset` is the KDH3DDataset-style
+    single-person set the eval driver consumes."""
+    cam = dataset.intrinsics or ITOP_INTRINSICS
+    total, total_sq, count = 0.0, 0.0, 0
+    n = len(dataset)
+    for s in range(0, n, batch_size):
+        idxs = range(s, min(s + batch_size, n))
+        imgs, centers = [], []
+        for i in idxs:
+            depth, anns = dataset.load_composited(int(i))
+            imgs.append(depth.astype(np.float32))
+            j2 = np.asarray(anns[0]["2d_joints"], np.float64)[center_joint]
+            z = np.asarray(anns[0]["3d_joints"], np.float64)[center_joint, 2]
+            centers.append([j2[0], j2[1], z])
+        centers = np.asarray(centers)
+        h, w = imgs[0].shape
+        boxes = boxes_from_centers(centers, cam, xy_thres=xy_thres,
+                                   img_h=h, img_w=w)
+        crops = np.asarray(itop_crop_batch(
+            jnp.asarray(np.stack(imgs)), jnp.arange(len(imgs)),
+            jnp.asarray(boxes), jnp.asarray(centers[:, 2], jnp.float32),
+            mean=0.0, std=1.0, depth_thres=depth_thres, out_size=out_size,
+        ), dtype=np.float64)
+        total += crops.sum()
+        total_sq += (crops ** 2).sum()
+        count += crops.size
+    mean = total / count
+    var = max(total_sq / count - mean * mean, 1e-12)
+    return float(mean), float(np.sqrt(var))
+
+
 def itop_crop_labels(joints_uvd: np.ndarray, boxes: np.ndarray,
                      center_z: np.ndarray, out_size: int = CROP):
     """(N, K, 3) (y, x, z-rel) labels in crop space

@@ -19,6 +19,7 @@ tests/test_itop_syngen.py pins the committed floors.
 Run on the chip:  python scripts/itop_table.py
 Env: ITOP_METHODS=a2j,openpose ITOP_TRAIN=256 ITOP_VAL=64
      ITOP_EPOCHS=500 ITOP_A2J_EPOCHS=300 ITOP_CHUNK=100 ITOP_DIR=<workdir>
+     ITOP_OUT=<json path> (point smoke runs AWAY from the committed artifact)
 """
 
 import json
@@ -32,7 +33,9 @@ sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
-OUT = os.path.join(REPO, "examples", "results", "itop_syngen.json")
+OUT = os.environ.get(
+    "ITOP_OUT", os.path.join(REPO, "examples", "results", "itop_syngen.json")
+)
 
 
 def main():
@@ -136,7 +139,11 @@ def main():
     )
 
     if "a2j" in methods:
-        model = A2J(depth_prior=ITOP_DATASET.depth.mean)
+        # ITOP labels are torso-RELATIVE z (~0): the zero-bias depth head
+        # (the A2J default) already starts the vote at the label mean, and
+        # the crops normalize with the MEASURED relative stats, the
+        # reference's itop_side_mean/std.npy (itop_train_64.py:85-86, :260).
+        model = A2J()
         anchors = jnp.asarray(
             shift_anchors((CROP // 16, CROP // 16), 16, generate_anchors()),
             jnp.float32,
@@ -151,21 +158,31 @@ def main():
             al, rl = a2j_loss(heads, b["labels"], anchors)
             return al + rl * 3.0
 
-        def a2j_score(trainer):
-            v = variables_of(trainer)
-
-            def infer(crops):
-                return model.apply(v, crops, train=False)
-
-            return _strip(run_itop_a2j_eval(infer, val_ds_a2j, 16))
-
         inner = KDH3DDataset(
             os.path.join(train_root, "depth_maps"),
             os.path.join(train_root, "labels.json"),
             ecfg=EncoderConfig(max_people=2), dcfg=ITOP_DATASET, seed=0,
             cache_images=True,
         )
-        train_ds = ITOPA2JCropDataset(inner, seed=0)
+        from popnet_tpu.data.itop_a2j import itop_relative_stats
+
+        rel_mean, rel_std = itop_relative_stats(inner)
+        print(f"[itop] a2j relative stats: mean {rel_mean:.6f} "
+              f"std {rel_std:.6f}", flush=True)
+        rec = out["methods"].setdefault("a2j", {"curve": []})
+        rec["rel_stats"] = [round(rel_mean, 6), round(rel_std, 6)]
+
+        def a2j_score(trainer):
+            v = variables_of(trainer)
+
+            def infer(crops):
+                return model.apply(v, crops, train=False)
+
+            return _strip(run_itop_a2j_eval(infer, val_ds_a2j, 16,
+                                            mean=rel_mean, std=rel_std))
+
+        train_ds = ITOPA2JCropDataset(inner, seed=0,
+                                      mean=rel_mean, std=rel_std)
         run_dir = os.path.join(work, "run_a2j")
         trainer = Trainer(
             model, step, a2j_eval_loss, sample_input_shape=(1, CROP, CROP, 1),

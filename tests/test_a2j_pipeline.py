@@ -57,10 +57,17 @@ def test_crop_label_roundtrip():
 
 
 def test_random_erasing():
-    crops = jnp.zeros((8, 64, 64, 1))
-    out = np.asarray(random_erasing(crops, jax.random.PRNGKey(0), probability=1.0))
-    changed = (np.abs(out) > 1e-9).reshape(8, -1).mean(1)
+    """Erasing is ADDITIVE Gaussian noise over one random rectangle
+    (reference random_erasing.py:45-53 `img[...] += rand_patch`), never a
+    replacement — outside the patch the crop is bit-identical."""
+    base = jnp.full((8, 64, 64, 1), -1.5)
+    out = np.asarray(random_erasing(base, jax.random.PRNGKey(0), probability=1.0))
+    delta = out - np.asarray(base)
+    changed = (np.abs(delta) > 1e-9).reshape(8, -1).mean(1)
     assert (changed > 0).all() and (changed < 0.5).all()
+    # additive: the patch delta is unit Gaussian noise, not values near 0-(-1.5)
+    patch = delta[np.abs(delta) > 1e-9]
+    assert abs(patch.mean()) < 0.2 and 0.7 < patch.std() < 1.3
 
 
 @pytest.fixture(scope="module")

@@ -131,6 +131,41 @@ def test_itop_openpose_driver_oracle(itop_set):
     assert out["acc_10cm"] > 0.9, out["acc_10cm"]
 
 
+def test_itop_relative_stats_scale(itop_set):
+    """The measured crop stats (itop_relative_stats — the reference's
+    itop_side_mean/std.npy, itop_train_64.py:85-86) describe torso-RELATIVE
+    clamped depth: |mean| < depth_thres and std well under the absolute
+    scale (2.0). Normalizing with them leaves crops ~zero-mean/unit-var —
+    the property whose violation collapsed the r4 ITOP A2J run."""
+    from popnet_tpu.data.itop_a2j import (
+        boxes_from_centers, itop_crop_batch, itop_relative_stats,
+    )
+    from popnet_tpu.core.camera import ITOP_INTRINSICS
+
+    ds = KDH3DDataset(itop_set["img_dir"], itop_set["labels"],
+                      ecfg=EncoderConfig(max_people=2), dcfg=ITOP_DATASET,
+                      is_train=False, seed=0)
+    mean, std = itop_relative_stats(ds)
+    assert abs(mean) < 0.4 and 0.0 < std < 0.5, (mean, std)
+
+    # normalized crops are standardized by construction
+    gt_rows = []
+    for image_id in ds.ids:
+        ann = ds.anno_dic[image_id][0]
+        j2 = np.asarray(ann["2d_joints"], np.float64)[8]
+        z = np.asarray(ann["3d_joints"], np.float64)[8, 2]
+        gt_rows.append([j2[0], j2[1], z])
+    centers = np.asarray(gt_rows)
+    imgs = np.stack([ds.load_composited(i)[0].astype(np.float32)
+                     for i in range(len(ds))])
+    boxes = boxes_from_centers(centers, ITOP_INTRINSICS, img_h=240, img_w=320)
+    crops = np.asarray(itop_crop_batch(
+        jnp.asarray(imgs), jnp.arange(len(imgs)), jnp.asarray(boxes),
+        jnp.asarray(centers[:, 2], jnp.float32), mean=mean, std=std,
+    ))
+    assert abs(crops.mean()) < 1e-2 and abs(crops.std() - 1.0) < 1e-2
+
+
 def test_score_itop_uvz_flipped_camera():
     """The protocol back-projects through the FLIPPED-Y ITOP camera
     (eval_pose_single.py:30-34): a v-offset prediction loses accuracy
