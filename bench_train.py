@@ -110,6 +110,10 @@ def main():
             n += batch_size
             jax.block_until_ready(b["image"])
         dt_data = time.perf_counter() - t0
+        # frames actually yielded per epoch: shard_repeats>1 streams R
+        # passes over each resident shard, so an epoch sees R*n_images
+        # frames — count what the iterator produced, don't assume n_images
+        epoch_frames = n
 
         # host assembly stage alone (no device work): the stage the
         # pipelined iterator overlaps with H2D + step
@@ -129,7 +133,7 @@ def main():
         t0 = time.perf_counter()
         loss = trainer.train_epoch(ds, batch_size)
         dt = time.perf_counter() - t0
-        steps = n_images // batch_size
+        steps = epoch_frames // batch_size
 
         # device step alone (input pipeline excluded): one cached device
         # batch stepped repeatedly, loss materialized as the hard sync
