@@ -32,6 +32,24 @@ ECFG = EncoderConfig()
 DCFG = DecodeConfig()
 
 
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+PEAK_BW = float(os.environ.get("BENCH_PEAK_GBPS", "819")) * 1e9
+
+
+def _stage_roofline(fn, *args):
+    """XLA cost analysis of the compiled stage -> (flops, bytes,
+    roofline ms/batch = max(compute, bandwidth) at chip peaks)."""
+    try:
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        return flops, byts, max(flops / PEAK_FLOPS, byts / PEAK_BW) * 1e3
+    except Exception:
+        return None, None, None
+
+
 def timeit(name, fn, *args):
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])  # compile + settle
@@ -41,8 +59,18 @@ def timeit(name, fn, *args):
     # drain one scalar-ish leaf: forces completion of the whole chain
     np.asarray(jax.tree.leaves(out)[0])
     dt = (time.perf_counter() - t0) / N
-    print(json.dumps({"stage": name, "ms_per_batch": round(dt * 1e3, 2),
-                      "fps": round(B / dt, 1)}), flush=True)
+    flops, byts, roof = _stage_roofline(fn, *args)
+    print(json.dumps({
+        "stage": name, "ms_per_batch": round(dt * 1e3, 2),
+        "fps": round(B / dt, 1),
+        "roofline_ms": round(roof, 3) if roof is not None else None,
+        "gflops": round(flops / 1e9, 2) if flops else None,
+        "mb_accessed": round(byts / 1e6, 1) if byts else None,
+        # which peak binds: compute (MXU) or HBM bandwidth
+        "bound": (None if roof is None else
+                  ("compute" if flops / PEAK_FLOPS > byts / PEAK_BW
+                   else "bandwidth")),
+    }), flush=True)
     return out
 
 
