@@ -88,9 +88,16 @@ def find_peaks_batched(
     size = 2 * win_size + 1
     S = size * factor
 
-    if refine == "pallas":
+    if refine in ("pallas", "pallas_row"):
+        from popnet_tpu.ops.pallas_kernels import find_peaks_pallas_bt
+
         hK = h.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, K, H, W)
-        px, py, loc, peak_score, valid = find_peaks_pallas(
+        # "pallas" = batch-tiled kernel (BT rows per grid cell — the
+        # grid-per-row variant measured 7.0 ms/b256 against a 0.12 ms
+        # byte bound, PARITY roofline table); "pallas_row" keeps the
+        # per-row kernel as the parity reference
+        fn = find_peaks_pallas_bt if refine == "pallas" else find_peaks_pallas
+        px, py, loc, peak_score, valid = fn(
             hK, max_peaks=max_peaks, thresh=thresh, factor=factor,
             win_size=win_size, interpret=jax.default_backend() != "tpu",
         )

@@ -330,6 +330,177 @@ def find_peaks_pallas(heat_khw, max_peaks: int = 16, thresh: float = 0.1,
     return px, py, loc, score, valid > 0
 
 
+def _find_peaks_bt_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
+                          valid_ref, *, bt, num_joints, m, size, win_size,
+                          thresh, h, w):
+    """Batch-tiled peak front end: BT batch rows per grid cell.
+
+    The grid-per-row kernel (_find_peaks_kernel) measured 7.0 ms/b256
+    against a 0.12 ms byte bound — 256 sequential grid cells of
+    (15, 28)-shaped VPU work leave the lanes mostly idle (PARITY roofline
+    table). Here the NMS mask and the top-M argmax loop vectorize over
+    N = BT*K rows at once, and the bicubic refine feeds the MXU one
+    (BT*M, 25) x (25, S^2) matmul per joint — BT x taller than the
+    per-row kernel's (M, 25) — with the patch extraction done as
+    broadcast-reduce row/col selects (tap semantics identical to
+    _refine_joint, edge-CLAMPED targets, lowest-flat-index ties).
+    """
+    K = num_joints
+    N = bt * K
+    HB = h_ref[...]                      # (BT, K, H, W) f32
+    HH = HB.reshape(N, h, w)
+    Q = q_ref[:, :]                      # (25, S2)
+    S2 = Q.shape[1]
+
+    # ---- cross-footprint local-max mask + threshold, all rows at once ----
+    neg_r = jnp.full((N, 1, w), _SENT, jnp.float32)
+    neg_c = jnp.full((N, h, 1), _SENT, jnp.float32)
+    up = jnp.concatenate([neg_r, HH[:, :-1]], axis=1)
+    down = jnp.concatenate([HH[:, 1:], neg_r], axis=1)
+    left = jnp.concatenate([neg_c, HH[:, :, :-1]], axis=2)
+    right = jnp.concatenate([HH[:, :, 1:], neg_c], axis=2)
+    mx = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+    score = jnp.where((HH >= mx) & (HH > thresh), HH, _SENT)   # (N, H, W)
+
+    # ---- top-M per row: M iterations of two-level argmax ------------------
+    # (identical pick order to _find_peaks_kernel / lax.top_k tie rule)
+    iota_NH = jax.lax.broadcasted_iota(jnp.int32, (N, h), 1)
+    iota_NW = jax.lax.broadcasted_iota(jnp.int32, (N, w), 1)
+    iota_NM = jax.lax.broadcasted_iota(jnp.int32, (N, m), 1)
+    PX = jnp.zeros((N, m), jnp.int32)
+    PY = jnp.zeros((N, m), jnp.int32)
+    PV = jnp.full((N, m), _SENT, jnp.float32)
+    for pick in range(m):
+        rowmax = jnp.max(score, axis=2)                     # (N, H)
+        r = jnp.argmax(rowmax, axis=1)                      # (N,)
+        keep_r = jnp.where(iota_NH == r[:, None], 0.0, _SENT)
+        srow = jnp.max(score + keep_r[:, :, None], axis=1)  # (N, W)
+        c = jnp.argmax(srow, axis=1)
+        v = jnp.max(srow, axis=1)
+        m1 = (iota_NH == r[:, None]).astype(jnp.float32)
+        m2 = (iota_NW == c[:, None]).astype(jnp.float32)
+        score = score - m1[:, :, None] * m2[:, None, :] * 1e30
+        put = iota_NM == pick
+        PX = jnp.where(put, c[:, None], PX)
+        PY = jnp.where(put, r[:, None], PY)
+        PV = jnp.where(put, v[:, None], PV)
+    valid = PV > -1e29
+    PX = jnp.where(valid, PX, 0)
+    PY = jnp.where(valid, PY, 0)
+
+    # ---- windowed bicubic refine: one (BT*M, 25) x (25, S2) per joint -----
+    PXk = PX.reshape(bt, K, m)
+    PYk = PY.reshape(bt, K, m)
+    iota_BMH = jax.lax.broadcasted_iota(jnp.int32, (bt, m, h), 2)
+    iota_BMW = jax.lax.broadcasted_iota(jnp.int32, (bt, m, w), 2)
+    lane25 = jax.lax.broadcasted_iota(jnp.int32, (bt, m, size * size), 2)
+    Sdim = int(round(S2 ** 0.5))
+    fac = Sdim // size
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bt * m, S2), 1)
+    swin = (qpos // Sdim) // fac
+    twin = (qpos % Sdim) // fac
+    for k in range(K):
+        plane = HB[:, k]                                    # (BT, H, W)
+        pxk = PXk[:, k]                                     # (BT, M)
+        pyk = PYk[:, k]
+        patch = jnp.zeros((bt, m, size * size), jnp.float32)
+        for i in range(size):
+            ty = jnp.clip(pyk + (i - win_size), 0, h - 1)   # (BT, M)
+            rmask = (iota_BMH == ty[..., None]).astype(jnp.float32)
+            # (BT, M, W): tap row i of every peak's window, all rows at
+            # once — batched dot keeps the same reduction association as
+            # the per-row kernel's jnp.dot(rmask, plane) (byte parity)
+            ti = jax.lax.dot_general(
+                rmask, plane,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(size):
+                tx = jnp.clip(pxk + (j - win_size), 0, w - 1)
+                val = jnp.sum(
+                    jnp.where(iota_BMW == tx[..., None], ti, 0.0), axis=2
+                )
+                patch = patch + jnp.where(
+                    lane25 == i * size + j, val[..., None], 0.0
+                )
+        upq = jnp.dot(patch.reshape(bt * m, size * size), Q,
+                      preferred_element_type=jnp.float32)   # (BT*M, S2)
+        pxf = pxk.reshape(bt * m, 1)
+        pyf = pyk.reshape(bt * m, 1)
+        kx0 = jnp.maximum(0, win_size - pxf)
+        kx1 = win_size + jnp.minimum(w - 1 - pxf, win_size)
+        ky0 = jnp.maximum(0, win_size - pyf)
+        ky1 = win_size + jnp.minimum(h - 1 - pyf, win_size)
+        ok = (swin >= ky0) & (swin <= ky1) & (twin >= kx0) & (twin <= kx1)
+        upm = jnp.where(ok, upq, jnp.float32(-jnp.inf))
+        loc_ref[:, k] = jnp.argmax(upm, axis=1).astype(jnp.int32).reshape(bt, m)
+        score_ref[:, k] = jnp.max(upm, axis=1).reshape(bt, m)
+    px_ref[...] = PX.reshape(bt, K, m)
+    py_ref[...] = PY.reshape(bt, K, m)
+    valid_ref[...] = valid.astype(jnp.int32).reshape(bt, K, m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_peaks", "thresh", "factor", "win_size", "bt",
+                     "interpret"),
+)
+def find_peaks_pallas_bt(heat_khw, max_peaks: int = 16, thresh: float = 0.1,
+                         factor: int = 8, win_size: int = 2, bt: int = 8,
+                         interpret: bool = False):
+    """Batch-tiled fused peak front end: same contract and exact same
+    outputs as find_peaks_pallas, BT batch rows per grid cell instead of
+    one (see _find_peaks_bt_kernel). B is zero-padded up to a multiple of
+    BT (zero heat < thresh -> padded rows decode as no-peak) and sliced
+    back."""
+    from popnet_tpu.decode.device import _upsample_matrix
+
+    B, K, H, W = heat_khw.shape
+    bt = min(bt, B)
+    pad = (-B) % bt
+    hk = heat_khw.astype(jnp.float32)
+    if pad:
+        hk = jnp.pad(hk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    Bp = B + pad
+    size = 2 * win_size + 1
+    S = size * factor
+    U = _upsample_matrix(size, factor)
+    Q = jnp.asarray(
+        np.einsum("si,tj->ijst", U, U).reshape(size * size, S * S),
+        jnp.float32,
+    )
+    kernel = functools.partial(
+        _find_peaks_bt_kernel, bt=bt, num_joints=K, m=max_peaks, size=size,
+        win_size=win_size, thresh=float(thresh), h=H, w=W,
+    )
+    km = pl.BlockSpec((bt, K, max_peaks), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    px, py, loc, score, valid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, K, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, K, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, K, max_peaks), jnp.int32),
+        ),
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, K, H, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((size * size, S * S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(km, km, km, km, km),
+        interpret=interpret,
+    )(hk, Q)
+    if pad:
+        px, py, loc, score, valid = (
+            a[:B] for a in (px, py, loc, score, valid)
+        )
+    return px, py, loc, score, valid > 0
+
+
 def _window_readout_kernel(zh_ref, hrelu_ref, z_ref, cx_ref, cy_ref, out_ref,
                            *, num_joints, p, radius, h, w):
     ZH = zh_ref[0]        # (K, H, W) z * relu(heat)

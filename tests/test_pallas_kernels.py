@@ -41,6 +41,30 @@ def test_find_peaks_pallas_matches_xla():
     )
 
 
+def test_find_peaks_bt_matches_per_row():
+    """The batch-tiled peak kernel (BT rows per grid cell) reproduces the
+    per-row kernel: identical peak indices / window argmax / valid sets,
+    scores equal to float epsilon (the refine matmul is (BT*M, 25) instead
+    of (M, 25); same taps, shape-dependent reduction order in the backend).
+    Covers the B % BT != 0 zero-padding path."""
+    from popnet_tpu.ops.pallas_kernels import (
+        find_peaks_pallas, find_peaks_pallas_bt,
+    )
+
+    rng = np.random.default_rng(7)
+    for B in (8, 12, 3):
+        heat = rng.uniform(0, 1, (B, 15, 28, 28)).astype(np.float32)
+        heat[0, 0, 5, 5] = 0.9
+        heat[0, 0, 5, 9] = 0.9  # exact tie: pick order must match
+        a = find_peaks_pallas(jnp.asarray(heat), interpret=True)
+        b = find_peaks_pallas_bt(jnp.asarray(heat), bt=8, interpret=True)
+        for i in (0, 1, 2, 4):  # px, py, loc, valid: exact
+            np.testing.assert_array_equal(np.asarray(a[i]), np.asarray(b[i]))
+        np.testing.assert_allclose(
+            np.asarray(a[3]), np.asarray(b[3]), atol=1e-5
+        )
+
+
 def test_window_readout_pallas_matches_xla():
     """The VMEM window-readout kernel reproduces the XLA einsum
     retrieve_depth_heat_weighted, including border-shrunken and collapsed
