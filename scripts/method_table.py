@@ -163,8 +163,12 @@ def main():
             json.dump(out, f, indent=2)
 
     # popnet row: cite the syngen run (same data/seeds/recipe, scripts/syngen.py)
+    # unless a row trained under THIS harness already exists or is requested
+    # (TABLE_METHODS=...,popnet trains it like the other three)
     syn_path = os.path.join(REPO, "examples", "results", "syngen_r3.json")
-    if os.path.exists(syn_path):
+    popnet_trained = out["methods"].get("popnet", {}).get("trained_here")
+    if os.path.exists(syn_path) and "popnet" not in methods \
+            and not popnet_trained:
         syn = json.load(open(syn_path))
         same_budget = [p for p in syn["curve"] if p["step"] <= epochs * 16]
         if same_budget:
@@ -315,6 +319,64 @@ def main():
             val_loss_ds(False, False), epochs, op_score, n_train // batch,
         )
         export_weights(trainer, os.path.join(work, "table_weights_openpose.npz"))
+
+    # ---------------- popnet (PoP-Net proper, universe readout) ----------
+    if "popnet" in methods:
+        from popnet_tpu.losses import popnet_loss
+        from popnet_tpu.models import PopNet
+        from popnet_tpu.train.steps import make_popnet_train_step
+
+        pop_model = PopNet()
+        step = make_popnet_train_step(pred_vis=False)
+
+        def pop_eval_loss(state, b):
+            (_, saved) = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                b["image"], train=False,
+            )
+            loss, _ = popnet_loss(
+                saved, b["heatmaps"], b["zmaps"], b["fg_masks_z"],
+                b["align_maps"], b["fg_masks_align"], b["prior_map"],
+                b["prior_mask_conf"], b["prior_mask_coord"],
+                ecfg.num_joints, prior_weight_map=b["prior_weight_map"],
+                pred_vis=False,
+            )
+            return loss
+
+        def pop_score(trainer):
+            v = variables_of(trainer)
+
+            def infer(images):
+                (heat, z, align, prior), _ = pop_model.apply(
+                    v, images, train=False)
+                return heat, z, align, prior
+
+            data = ev.run_popnet_eval(infer, frozen_ds, 16, ecfg, dcfg,
+                                      readout="universe")
+            return _metrics(ev.evaluate_eval_data(data, verbose=False))
+
+        # a trained row replaces the syngen citation (one harness, one
+        # program invocation for all four rows — VERDICT r4 weak #7)
+        prev_pop = out["methods"].get("popnet", {})
+        if not prev_pop.get("trained_here"):
+            out["methods"]["popnet"] = {
+                "curve": [], "trained_here": True, "readout": "universe",
+            }
+        run_dir = os.path.join(work, "run_popnet")
+        trainer = Trainer(
+            pop_model, step, pop_eval_loss,
+            sample_input_shape=(1, 224, 224, 1), learning_rate=lr,
+            out_dir=run_dir, seed=0, optimizer="adam",
+            scheduler=WarmupCosine(lr, total_epochs=epochs,
+                                   warmup_epochs=warmup),
+        )
+        if os.path.exists(os.path.join(run_dir, "ckpt")):
+            trainer.resume()
+        train_chunked(
+            "popnet", trainer, mp_train_ds(True, True),
+            val_loss_ds(True, True), epochs, pop_score, n_train // batch,
+        )
+        export_weights(trainer, os.path.join(work, "table_weights_popnet.npz"))
 
     # ---------------- yolo_a2j (two-stage) ----------------
     if "yolo_a2j" in methods:

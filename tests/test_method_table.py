@@ -42,7 +42,8 @@ def test_metric_sanity_and_curves(table):
     for name, rec in table["methods"].items():
         # in-progress rows carry "latest"; only completed rows carry "final"
         # (a consumer reading "final" must never see a half-trained score)
-        assert ("final" in rec) == bool(rec.get("done", name == "popnet")), name
+        is_citation = name == "popnet" and not rec.get("trained_here")
+        assert ("final" in rec) == bool(rec.get("done", is_citation)), name
         final = rec.get("final") or rec["latest"]
         for k in METRICS:
             assert 0.0 <= final[k] <= 1.0, (name, k, final[k])
@@ -54,6 +55,13 @@ def test_popnet_row_cites_syngen(table):
     if "popnet" not in table["methods"]:
         pytest.skip("popnet row not present at this budget")
     rec = table["methods"]["popnet"]
+    if rec.get("trained_here"):
+        # trained under the table harness itself (TABLE_METHODS=...,popnet):
+        # provenance is the curve + done flag, not a syngen citation
+        assert rec.get("done"), "trained popnet row must run to completion"
+        assert rec["curve"], "trained popnet row must carry its curve"
+        assert rec.get("readout") == "universe"
+        return
     assert "syngen" in rec["source"]
     syn = json.load(open(os.path.join(ROOT, "examples", "results",
                                       "syngen_r3.json")))
