@@ -335,15 +335,20 @@ def _find_peaks_bt_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
                           thresh, h, w):
     """Batch-tiled peak front end: BT batch rows per grid cell.
 
-    The grid-per-row kernel (_find_peaks_kernel) measured 7.0 ms/b256
-    against a 0.12 ms byte bound — 256 sequential grid cells of
-    (15, 28)-shaped VPU work leave the lanes mostly idle (PARITY roofline
-    table). Here the NMS mask and the top-M argmax loop vectorize over
-    N = BT*K rows at once, and the bicubic refine feeds the MXU one
-    (BT*M, 25) x (25, S^2) matmul per joint — BT x taller than the
-    per-row kernel's (M, 25) — with the patch extraction done as
-    broadcast-reduce row/col selects (tap semantics identical to
-    _refine_joint, edge-CLAMPED targets, lowest-flat-index ties).
+    The NMS mask and the top-M argmax loop vectorize over N = BT*K rows
+    at once, and the bicubic refine feeds the MXU one (BT*M, 25) x
+    (25, S^2) matmul per joint — BT x taller than the per-row kernel's
+    (M, 25) — with the patch extraction done as batched one-hot row/col
+    selects (tap semantics identical to _refine_joint, edge-CLAMPED
+    targets, lowest-flat-index ties).
+
+    Measured same-session at b256 (v5e): per-row 5.9 ms, bt8 6.1, bt16
+    5.5-5.8 — i.e. batch-tiling is roughly NEUTRAL, refuting the
+    grid-serialization hypothesis from the roofline table: the stage's
+    cost is the unrolled one-hot tap-select VPU work (identical total in
+    both layouts), not grid dispatch. bt16 is kept as the TPU default for
+    its small consistent edge; the per-row kernel remains the parity
+    reference (decode/device.py refine="pallas_row").
     """
     K = num_joints
     N = bt * K
@@ -396,7 +401,9 @@ def _find_peaks_bt_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
     lane25 = jax.lax.broadcasted_iota(jnp.int32, (bt, m, size * size), 2)
     Sdim = int(round(S2 ** 0.5))
     fac = Sdim // size
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (bt * m, S2), 1)
+    # window-validity geometry kept in (BT, M, S2) space throughout:
+    # Mosaic rejects minor-dim reshapes like (BT, M) -> (BT*M, 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (bt, m, S2), 2)
     swin = (qpos // Sdim) // fac
     twin = (qpos % Sdim) // fac
     for k in range(K):
@@ -425,16 +432,18 @@ def _find_peaks_bt_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
                 )
         upq = jnp.dot(patch.reshape(bt * m, size * size), Q,
                       preferred_element_type=jnp.float32)   # (BT*M, S2)
-        pxf = pxk.reshape(bt * m, 1)
-        pyf = pyk.reshape(bt * m, 1)
-        kx0 = jnp.maximum(0, win_size - pxf)
-        kx1 = win_size + jnp.minimum(w - 1 - pxf, win_size)
-        ky0 = jnp.maximum(0, win_size - pyf)
-        ky1 = win_size + jnp.minimum(h - 1 - pyf, win_size)
-        ok = (swin >= ky0) & (swin <= ky1) & (twin >= kx0) & (twin <= kx1)
-        upm = jnp.where(ok, upq, jnp.float32(-jnp.inf))
-        loc_ref[:, k] = jnp.argmax(upm, axis=1).astype(jnp.int32).reshape(bt, m)
-        score_ref[:, k] = jnp.max(upm, axis=1).reshape(bt, m)
+        up3 = upq.reshape(bt, m, S2)
+        kx0 = jnp.maximum(0, win_size - pxk)                # (BT, M)
+        kx1 = win_size + jnp.minimum(w - 1 - pxk, win_size)
+        ky0 = jnp.maximum(0, win_size - pyk)
+        ky1 = win_size + jnp.minimum(h - 1 - pyk, win_size)
+        ok = (
+            (swin >= ky0[..., None]) & (swin <= ky1[..., None])
+            & (twin >= kx0[..., None]) & (twin <= kx1[..., None])
+        )
+        upm = jnp.where(ok, up3, jnp.float32(-jnp.inf))     # (BT, M, S2)
+        loc_ref[:, k] = jnp.argmax(upm, axis=2).astype(jnp.int32)
+        score_ref[:, k] = jnp.max(upm, axis=2)
     px_ref[...] = PX.reshape(bt, K, m)
     py_ref[...] = PY.reshape(bt, K, m)
     valid_ref[...] = valid.astype(jnp.int32).reshape(bt, K, m)
@@ -446,7 +455,7 @@ def _find_peaks_bt_kernel(h_ref, q_ref, px_ref, py_ref, loc_ref, score_ref,
                      "interpret"),
 )
 def find_peaks_pallas_bt(heat_khw, max_peaks: int = 16, thresh: float = 0.1,
-                         factor: int = 8, win_size: int = 2, bt: int = 8,
+                         factor: int = 8, win_size: int = 2, bt: int = 16,
                          interpret: bool = False):
     """Batch-tiled fused peak front end: same contract and exact same
     outputs as find_peaks_pallas, BT batch rows per grid cell instead of
