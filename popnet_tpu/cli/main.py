@@ -350,12 +350,19 @@ def _train_coco(args):
         loss, _ = rtpose_light_loss(saved, batch["heat"], batch["paf"], 6)
         return loss
 
+    jitter = None
+    if args.scale_jitter:
+        lo, hi = (float(v) for v in args.scale_jitter.split(","))
+        jitter = (lo, hi)
+
     def make_ds(ann, is_train):
         return CocoKeypointsDataset(
             os.path.join(args.data_root, "images"),
             os.path.join(args.data_root, ann),
             input_y=args.input_size, input_x=args.input_size,
             is_train=is_train, seed=args.seed,
+            rotate_max_deg=args.rotate_aug, scale_jitter=jitter,
+            blur_max_sigma=args.blur_aug,
         )
 
     train_ds = make_ds(args.labels, True)
@@ -820,6 +827,18 @@ def build_parser():
                         "--model openpose)")
     t.add_argument("--n-micro", type=int, default=2,
                    help="GPipe microbatches per device batch (--mesh pipe=N)")
+    t.add_argument("--rotate-aug", type=float, default=0.0, metavar="DEG",
+                   help="COCO RGB train-time random rotation, uniform in "
+                        "+-DEG with canvas expansion (reference "
+                        "transforms.py RandomRotate)")
+    t.add_argument("--scale-jitter", default=None, metavar="LO,HI",
+                   help="COCO RGB train-time uniform scale jitter folded "
+                        "into the letterbox (reference transforms.py "
+                        "RescaleRelative), e.g. 0.5,1.0")
+    t.add_argument("--blur-aug", type=float, default=0.0, metavar="SIGMA",
+                   help="COCO RGB train-time Gaussian blur, sigma ~ "
+                        "U[0, SIGMA] (reference transforms.py "
+                        "blur_augmentation)")
     t.add_argument("--bg-aug", action="store_true")
     t.add_argument("--mp-aug", action="store_true")
     t.add_argument("--mp-label-prefix", default="labels_loc")

@@ -45,6 +45,38 @@ from popnet_tpu.data.preprocessing import preprocess
 _OUR_ORDER = (0, 17, 6, 8, 10, 5, 7, 9, 12, 14, 16, 11, 13, 15, 2, 1, 4, 3)
 
 
+def rotate_bound(image: np.ndarray, angle_deg: float,
+                 border=(128, 128, 128)):
+    """Rotate about the image center, expanding the canvas so no pixel is
+    cropped; constant gray border (reference: transforms.py:457-480
+    RandomRotate.rotate_bound, same -angle cv2 convention). Returns
+    (rotated image, 2x3 affine M mapping original -> rotated pixel coords;
+    keypoints follow as [x, y, 1] @ M.T, transforms.py:443-452)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    cx, cy = w // 2, h // 2
+    M = cv2.getRotationMatrix2D((cx, cy), -angle_deg, 1.0)
+    cos, sin = abs(M[0, 0]), abs(M[0, 1])
+    nw = int(h * sin + w * cos)
+    nh = int(h * cos + w * sin)
+    M[0, 2] += nw / 2 - cx
+    M[1, 2] += nh / 2 - cy
+    out = cv2.warpAffine(
+        image, M, (nw, nh), flags=cv2.INTER_CUBIC,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+    )
+    return out, M
+
+
+def blur_image(image: np.ndarray, sigma: float) -> np.ndarray:
+    """Spatial-only Gaussian blur (reference: transforms.py:34-39
+    blur_augmentation — sigma drawn by the caller, channels untouched)."""
+    from scipy import ndimage
+
+    return ndimage.gaussian_filter(image, sigma=(sigma, sigma, 0))
+
+
 def add_neck(kp17: np.ndarray) -> np.ndarray:
     """(17, 3) -> (18, 3) in rtpose order with the synthesized neck
     (reference: datasets_coco.py:233-260 — note the np.round on the neck
@@ -114,9 +146,21 @@ class CocoKeypointsDataset(_BaseDataset):
         mode: str = "vgg",
         is_train: bool = True,
         hflip: bool = True,
+        rotate_max_deg: float = 0.0,
+        scale_jitter: tuple[float, float] | None = None,
+        blur_max_sigma: float = 0.0,
         max_people: int = 16,
         seed: int = 0,
     ):
+        # Train-time RGB augmentations mirroring the reference's transform
+        # library (lib/datasets/transforms.py): rotate_max_deg —
+        # RandomRotate(:403-441), uniform in +-deg with canvas expansion;
+        # scale_jitter=(lo, hi) — RescaleRelative(:159-208), a uniform
+        # multiplicative factor folded into this dataset's letterbox scale
+        # (ONE resample, clamped so the static canvas always fits);
+        # blur_max_sigma — blur_augmentation(:34-39), sigma ~ U[0, max].
+        # All default off; the reference's own COCO path applies none of
+        # them by default either (datasets_coco.py:133 uses Normalize only).
         # deliberately NOT calling _BaseDataset.__init__ (depth-specific);
         # set the attributes its iter_batches prefetch machinery uses
         self.image_dir = image_dir
@@ -129,6 +173,9 @@ class CocoKeypointsDataset(_BaseDataset):
         self.mode = mode
         self.is_train = is_train
         self.hflip = hflip and is_train
+        self.rotate_max_deg = float(rotate_max_deg) if is_train else 0.0
+        self.scale_jitter = scale_jitter if is_train else None
+        self.blur_max_sigma = float(blur_max_sigma) if is_train else 0.0
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -143,8 +190,20 @@ class CocoKeypointsDataset(_BaseDataset):
         img = cv2.imread(os.path.join(self.image_dir, fname))
         if img is None:
             raise FileNotFoundError(os.path.join(self.image_dir, fname))
+        rot_M = None
+        if self.rotate_max_deg > 0.0:
+            deg = (self.rng.random() - 0.5) * 2.0 * self.rotate_max_deg
+            img, rot_M = rotate_bound(img, deg)
+        if self.blur_max_sigma > 0.0:
+            img = blur_image(img, self.blur_max_sigma * self.rng.random())
         h, w = img.shape[:2]
         scale = min(self.ecfg.input_y / h, self.ecfg.input_x / w)
+        if self.scale_jitter is not None:
+            lo, hi = self.scale_jitter
+            scale = min(
+                scale * self.rng.uniform(lo, hi),
+                self.ecfg.input_y / h, self.ecfg.input_x / w,
+            )
         nh, nw = int(round(h * scale)), int(round(w * scale))
         resized = cv2.resize(img, (nw, nh))
         canvas = np.zeros((self.ecfg.input_y, self.ecfg.input_x, 3), img.dtype)
@@ -156,6 +215,11 @@ class CocoKeypointsDataset(_BaseDataset):
         for p, kp17 in enumerate(kps[:P]):
             kp18 = add_neck(kp17)
             vis = kp18[:, 2] > 0.5
+            if rot_M is not None:
+                xy1 = np.concatenate(
+                    [kp18[:, :2], np.ones((kp18.shape[0], 1))], axis=1
+                )
+                kp18[:, :2] = xy1 @ rot_M.T
             j = np.where(vis[:, None], kp18[:, :2] * scale, -1.0)
             # remove_illegal_joint: out-of-input coords -> the (-1, -1) hole
             bad = (

@@ -422,3 +422,28 @@ def convert_kinect_raw_mp_frames(
     }
     _json.dump(labels, open(os.path.join(out_dir, label_name), "w"))
     return labels
+
+
+def filter_labels_by_reference_dir(
+    labels_json: str, reference_dir: str, out_json: str, ext: str = ".jpg"
+):
+    """Keep only the label entries whose visually-verified reference image
+    exists — the manual-refinement pass applied to the multi-person test
+    split (reference: parse_KDH3D_dataset_mp_refine.py:60-85: entry key
+    ``./depth_maps/<name>.npy`` is kept iff ``<ref_dir>/<name>.jpg``
+    survived the human screen). Non-frame keys (e.g. ``intrinsics``) pass
+    through untouched. Returns the filtered dict after writing it."""
+    import json as _json
+
+    labels = _json.load(open(labels_json))
+    out = {}
+    for key, val in labels.items():
+        if not key.endswith(".npy"):
+            out[key] = val
+            continue
+        stem = os.path.splitext(os.path.basename(key))[0]
+        if os.path.exists(os.path.join(reference_dir, stem + ext)):
+            out[key] = val
+    with open(out_json, "w") as f:
+        _json.dump(out, f, indent=4)
+    return out

@@ -218,3 +218,64 @@ def test_load_coco_images_filters_unlabeled(tmp_path):
     f.write_text(json.dumps(ann))
     items = load_coco_images(str(f))
     assert [fn for fn, _ in items] == ["b.png"]
+
+
+def test_rotate_bound_geometry():
+    """rotate_bound expands the canvas and its returned affine maps original
+    pixel coords onto the rotated image (reference: transforms.py:457-480
+    RandomRotate.rotate_bound): a bright block's post-rotation argmax must
+    land where M sends the block center."""
+    from popnet_tpu.data.coco_dataset import rotate_bound
+
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:13, 44:47] = 255  # block centered at (x=45, y=11)
+    out, M = rotate_bound(img, 30.0)
+    assert out.shape[0] >= 40 and out.shape[1] >= 60
+    exp = np.array([45.0, 11.0, 1.0]) @ M.T
+    flat = out[..., 0].astype(np.float64)
+    yy, xx = np.unravel_index(np.argmax(flat), flat.shape)
+    assert abs(xx - exp[0]) <= 1.5 and abs(yy - exp[1]) <= 1.5
+
+
+def test_train_augmentations(tmp_path):
+    """RGB train-time augmentations (reference transforms.py RandomRotate /
+    RescaleRelative / blur_augmentation): the static canvas holds, joints
+    stay in-canvas or hole-coded, a degenerate jitter range pins the exact
+    letterbox scale, eval mode ignores every knob, and the same seed
+    reproduces the same sample."""
+    img_dir, ann_file = _write_tiny_coco(tmp_path)
+
+    def make(seed=0, is_train=True, **kw):
+        return CocoKeypointsDataset(
+            img_dir, ann_file, input_y=64, input_x=64, mode="rtpose",
+            is_train=is_train, hflip=False, max_people=4, seed=seed, **kw,
+        )
+
+    ds = make(rotate_max_deg=30.0, scale_jitter=(0.6, 0.9),
+              blur_max_sigma=2.0)
+    b = ds.get_batch([0, 1, 2])
+    assert b["image"].shape == (3, 64, 64, 3)
+    assert b["heat"].shape == (3, 8, 8, COCO_NUM_JOINTS + 1)
+    canvas, joints, valid, scale = ds._load_one(0)
+    assert canvas.shape == (64, 64, 3)
+    hole = joints == -1.0
+    assert np.all(hole | ((joints >= 0.0) & (joints < 64.0)))
+
+    # degenerate jitter range -> exact factor on the letterbox scale
+    ds_pin = make(scale_jitter=(0.5, 0.5))
+    bp = ds_pin.get_batch([0])
+    np.testing.assert_allclose(bp["scale"], 0.5 * 64 / 70, rtol=1e-6)
+
+    # eval mode ignores the augmentation knobs entirely
+    ds_eval = make(is_train=False, rotate_max_deg=30.0,
+                   scale_jitter=(0.5, 0.5), blur_max_sigma=2.0)
+    be = ds_eval.get_batch([0])
+    np.testing.assert_allclose(be["scale"], 64 / 70, rtol=1e-6)
+
+    # same seed -> same stochastic sample
+    a0 = make(seed=7, rotate_max_deg=30.0, scale_jitter=(0.6, 0.9),
+              blur_max_sigma=2.0)._load_one(0)
+    a1 = make(seed=7, rotate_max_deg=30.0, scale_jitter=(0.6, 0.9),
+              blur_max_sigma=2.0)._load_one(0)
+    np.testing.assert_array_equal(a0[0], a1[0])
+    np.testing.assert_array_equal(a0[1], a1[1])

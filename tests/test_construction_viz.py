@@ -292,3 +292,28 @@ def test_convert_kinect_raw_mp(tmp_path):
     intr = labels["intrinsics"]
     x = j3[:, 0] / j3[:, 2] * intr["fx"] + intr["cx"]
     np.testing.assert_allclose(x, j2[:, 0], atol=1e-6)
+
+
+def test_filter_labels_by_reference_dir(tmp_path):
+    """The manual-refinement pass (reference:
+    parse_KDH3D_dataset_mp_refine.py:60-85): frame keys survive iff their
+    visually-screened reference jpg exists; non-frame keys pass through."""
+    import json
+
+    from popnet_tpu.data.construction import filter_labels_by_reference_dir
+
+    labels = {
+        "00000001.npy": [{"2d_joints": [[1.0, 2.0]]}],
+        "00000002.npy": [{"2d_joints": [[3.0, 4.0]]}],
+        "intrinsics": {"fx": 500.0},
+    }
+    lp = tmp_path / "labels_test.json"
+    lp.write_text(json.dumps(labels))
+    ref_dir = tmp_path / "vis_gt_refine"
+    ref_dir.mkdir()
+    (ref_dir / "00000002.jpg").write_bytes(b"x")
+
+    out_p = tmp_path / "labels_refined.json"
+    out = filter_labels_by_reference_dir(str(lp), str(ref_dir), str(out_p))
+    assert set(out) == {"00000002.npy", "intrinsics"}
+    assert json.loads(out_p.read_text()) == out
